@@ -1,0 +1,18 @@
+"""Crawl configuration shared by the Spark engine and the oracle."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+@dataclass
+class CrawlConfig:
+    per_host_k: int = 2          # politeness budget: max fetches per host per round
+    max_rounds: int = 50
+    global_budget: int | None = None
+    default_delay: float = 1.0   # rounds, for hosts without a robots entry
+    phash_max_hamming: int = 2
+    psnr_floor: float = 40.0
+    jaccard_theta: float = 0.8
+    n_buckets: int = 64          # salted host-hash frontier buckets (≫ at cluster scale)
+    n_salts: int = 8             # salt fan-out per host against hot-domain skew

@@ -1,0 +1,28 @@
+"""The synthetic web: pure functions shared by fixture generator, oracle,
+and the Spark engine (FIXTURES.md §1.2). Because the link graph is a pure
+seeded function of the image index, the oracle and the engine derive the
+identical graph with no stored adjacency table.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def out_degree(i: int) -> int:
+    return (i * 7919 + 13) % 6
+
+
+def out_links(i: int, n: int) -> list[int]:
+    """Targets of image i in a corpus of n images (sorted, no self-loop)."""
+    d = out_degree(i)
+    t = sorted({(i * 17 + k * 101 + 7) % n for k in range(1, d + 1)} - {i})
+    return t
+
+
+def image_index(image_id: str) -> int:
+    return int(image_id.rsplit("-", 1)[1])
+
+
+def robots_allowed(path: str, disallow: list[str]) -> bool:
+    return not any(path.startswith(p) for p in disallow)

@@ -1,0 +1,398 @@
+"""The distributed crawl engine — BSP supersteps over catalog snapshots.
+
+Implements, Spark-first, the frozen semantics of oracle/refcrawler.py
+(which executably defines BASELINE.json's north_star behaviors: priority
+frontier, per-host politeness buckets with robots gating, canonicalized
+URL seen-set, exact + MinHash/pHash near-dup rejection, per-partition
+lineage metrics, snapshot resume). Engine output must match the oracle
+100% on crawl order and seen set — tests/test_crawl_oracle.py asserts it.
+
+Scale design (10^10-URL frontier; sandbox runs are scaled down):
+- The frontier is bucket-partitioned by SALTED host-hash
+  (pmod(xxhash64(host, salt), n_buckets), salt = pmod(xxhash64(url),
+  n_salts)) so one hot domain spreads across buckets instead of pinning
+  one partition (north_rule's "defeat hot-domain skew"). Politeness state
+  stays keyed by HOST (not salt) and is re-aggregated each round.
+- Eligibility, per-host top-k, dedup candidate generation are all
+  shuffle-on-key DataFrame ops; LSH banding turns the O(n²) near-dup
+  search into equi-joins (explode band → join on (band_idx, band_val)).
+- Binary image bytes never enter a wide shuffle: only candidate PAIRS
+  (post-LSH, post-hamming) re-join the corpus to fetch bytes for the
+  PSNR verification (mapInPandas, Arrow-batched).
+- Exact seen-set semantics: the graded membership decision is always the
+  anti-join against the seen TABLE; sketches (bloom filter join pruning
+  is enabled in session.py) only prune, never decide.
+- The global fetch order materialized below uses a single-partition
+  window; it is required bit-exact only at validation scale. At cluster
+  scale set cfg-level ``total_order=False`` equivalent: order per
+  (bucket) with the same (priority, discovered_seq) tie-break — the
+  per-round BATCH (≤ k·|hosts|) is orders of magnitude smaller than the
+  frontier, which is what makes even the global sort feasible.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F, types as T
+
+from web_crawler_spark import schemas
+from web_crawler_spark.config import CrawlConfig
+from web_crawler_spark.functions.udfs import (
+    canon_udf,
+    caption_bands_udf,
+    host_udf,
+    jaccard3_udf,
+    pair_psnr_cols,
+    path_udf,
+)
+from web_crawler_spark.sources.catalog import ManifestCatalog
+
+SURVIVOR_COLS = ["fetch_seq", "image_id", "w", "h", "phash", "caption", "content_sha", "bands"]
+
+
+def _bucket(host_col, url_col, cfg: CrawlConfig):
+    salt = F.pmod(F.xxhash64(url_col), F.lit(cfg.n_salts))
+    return F.pmod(F.xxhash64(host_col, salt), F.lit(cfg.n_buckets)).cast("int")
+
+
+class CrawlEngine:
+    def __init__(self, spark: SparkSession, fix_dir: str, run_dir: str,
+                 cfg: CrawlConfig = CrawlConfig()):
+        self.spark = spark
+        self.fix_dir = fix_dir
+        self.cfg = cfg
+        self.cat = ManifestCatalog(spark, run_dir)
+        self.corpus = spark.read.parquet(os.path.join(fix_dir, "corpus.parquet"))
+        self.n_corpus = self.corpus.count()
+        with open(os.path.join(fix_dir, "robots.json")) as f:
+            robots = json.load(f)
+        self.robots = spark.createDataFrame(
+            [(h, v["disallow"], float(v["crawl_delay"])) for h, v in robots.items()],
+            schema=schemas.ROBOTS,
+        )
+
+    # ------------------------------------------------------------------ init
+    def _url_map(self) -> DataFrame:
+        urls = self.spark.read.parquet(os.path.join(self.fix_dir, "urls.parquet"))
+        return (
+            urls.withColumn("canon_url", canon_udf("url"))
+            .withColumn("host", host_udf("canon_url"))
+            .withColumn("path", path_udf("canon_url"))
+            .select("image_id", "canon_url", "host", "path")
+        )
+
+    def init_state(self) -> None:
+        """Round -1: seed the frontier + seen set; materialize url_map."""
+        cfg, spark = self.cfg, self.spark
+        url_map = self._url_map()
+        self.cat.stage("url_map", url_map.repartition(8, "canon_url"))
+
+        with open(os.path.join(self.fix_dir, "seeds.txt")) as f:
+            seeds = [l.strip() for l in f if l.strip()]
+        seeds_df = spark.createDataFrame(
+            [(u, i) for i, u in enumerate(seeds)], schema="url string, file_pos int"
+        )
+        s = (
+            seeds_df.withColumn("canon_url", canon_udf("url"))
+            .withColumn("host", host_udf("canon_url"))
+            .withColumn("path", path_udf("canon_url"))
+        )
+        # first occurrence per canonical URL, in file order (oracle contract)
+        w = Window.partitionBy("canon_url").orderBy("file_pos")
+        s = s.withColumn("rn", F.row_number().over(w)).filter("rn = 1").drop("rn")
+        s = s.join(F.broadcast(self.robots), "host", "left")
+        s = s.withColumn(
+            "allowed",
+            ~F.exists(F.coalesce("disallow", F.array().cast("array<string>")),
+                      lambda p: F.col("path").startswith(p)),
+        )
+        allowed = s.filter("allowed")
+        wseq = Window.orderBy("file_pos")
+        frontier = allowed.select(
+            F.col("canon_url"),
+            F.xxhash64("canon_url").alias("url_hash"),
+            F.col("host"),
+            _bucket(F.col("host"), F.col("canon_url"), cfg).alias("bucket"),
+            F.lit(0).alias("priority"),
+            (F.row_number().over(wseq) - 1).cast("long").alias("discovered_seq"),
+            F.lit(0).alias("ready_round"),
+        )
+        seen = s.select("canon_url", F.xxhash64("canon_url").alias("url_hash"))
+        n_seq = frontier.count()
+        self.cat.stage("frontier", frontier.repartition(8, "bucket"))
+        self.cat.stage("host_next", spark.createDataFrame([], schemas.HOST_NEXT))
+        self.cat.append("seen", seen, partitions=1)
+        self.cat.append("survivors", spark.createDataFrame(
+            [], "fetch_seq long, image_id string, w int, h int, phash long,"
+                "caption string, content_sha string, bands array<bigint>"), partitions=1)
+        self.cat.append("crawl_log", spark.createDataFrame([], schemas.CRAWL_LOG), partitions=1)
+        self.cat.append("images_kept", spark.createDataFrame([], schemas.IMAGES_KEPT), partitions=1)
+        self.cat.append("metrics", spark.createDataFrame([], schemas.METRICS), partitions=1)
+        self.cat.commit(-1, {"next_seq": n_seq, "next_fetch_seq": 0, "budget_spent": 0})
+
+    # ----------------------------------------------------------------- round
+    def run_round(self, r: int) -> dict:
+        cfg, spark, cat = self.cfg, self.spark, self.cat
+        ctr = cat.counters()
+        budget_left = (cfg.global_budget - ctr["budget_spent"]
+                       if cfg.global_budget is not None else None)
+        if budget_left is not None and budget_left <= 0:
+            return {"fetched": 0, "frontier": cat.read("frontier").count(), "stopped": True}
+
+        frontier = cat.read("frontier")
+        host_next = cat.read("host_next")
+
+        elig = (
+            frontier.filter(F.col("ready_round") <= r)
+            .join(host_next, "host", "left")
+            .filter(F.coalesce("next_round", F.lit(0)) <= r)
+            .drop("next_round")
+        )
+        wk = Window.partitionBy("host").orderBy("priority", "discovered_seq")
+        sel = elig.withColumn("rn", F.row_number().over(wk)).filter(F.col("rn") <= cfg.per_host_k).drop("rn")
+        if budget_left is not None:
+            sel = sel.orderBy("priority", "discovered_seq").limit(int(budget_left))
+        wseq = Window.orderBy("priority", "discovered_seq")
+        batch = sel.withColumn(
+            "fetch_seq", (F.row_number().over(wseq) - 1 + F.lit(ctr["next_fetch_seq"])).cast("long")
+        )
+
+        # -- fetch: frontier batch ⋈ url_map ⋈ corpus (the sandbox's HTTP GET)
+        url_map = cat.read("url_map")
+        fetched = (
+            batch.join(url_map.select("image_id", "canon_url"), "canon_url", "inner")
+            .join(self.corpus, "image_id", "inner")
+            .withColumn("content_sha", F.sha2("bytes", 256))
+            .drop("bytes")  # bytes re-joined only for candidate PAIRS (scale: §4.4)
+            .persist()
+        )
+        n_fetched = fetched.count()
+        if n_fetched == 0:
+            fetched.unpersist()
+            n_frontier = frontier.count()
+            return {"fetched": 0, "frontier": n_frontier, "stopped": n_frontier == 0}
+
+        # -- exact dedup: first-writer-wins per content hash, global order
+        prior_sha = cat.read("survivors").select("content_sha").distinct()
+        wsha = Window.partitionBy("content_sha").orderBy("fetch_seq")
+        fx = (
+            fetched.withColumn("sha_rn", F.row_number().over(wsha))
+            .join(prior_sha.withColumn("in_prior", F.lit(True)), "content_sha", "left")
+            .withColumn("is_exact_dup", F.col("in_prior").isNotNull() | (F.col("sha_rn") > 1))
+            .drop("in_prior", "sha_rn")
+        )
+        batch_surv = (
+            fx.filter(~F.col("is_exact_dup"))
+            .withColumn("bands", caption_bands_udf("caption"))
+            .select(*SURVIVOR_COLS)
+            .persist()
+        )
+        prior_surv = cat.read("survivors")
+        all_surv = prior_surv.unionByName(batch_surv)
+
+        # -- image near-dup: pHash 4×16-bit LSH bands → equi-join → verify
+        def with_pbands(df, side):
+            return df.select(
+                F.col("fetch_seq").alias(f"{side}_seq"),
+                F.col("image_id").alias(f"{side}_id"),
+                F.col("w").alias(f"{side}_w"),
+                F.col("h").alias(f"{side}_h"),
+                F.col("phash").alias(f"{side}_phash"),
+                F.col("caption").alias(f"{side}_caption"),
+                F.posexplode(
+                    F.array(*[
+                        F.shiftrightunsigned("phash", s).bitwiseAND(F.lit(0xFFFF))
+                        for s in (0, 16, 32, 48)
+                    ])
+                ).alias(f"{side}_pband_idx", f"{side}_pband_val"),
+            )
+
+        xi = with_pbands(batch_surv, "x")
+        yi = with_pbands(all_surv, "y")
+        img_pairs = (
+            xi.join(yi, (F.col("x_pband_idx") == F.col("y_pband_idx"))
+                    & (F.col("x_pband_val") == F.col("y_pband_val"))
+                    & (F.col("x_w") == F.col("y_w")) & (F.col("x_h") == F.col("y_h")), "inner")
+            .filter(F.col("y_seq") < F.col("x_seq"))
+            .filter(F.col("x_caption") == F.col("y_caption"))
+            .filter(F.bit_count(F.col("x_phash").bitwiseXOR(F.col("y_phash"))) <= cfg.phash_max_hamming)
+            .select("x_seq", "x_id", "y_seq", "y_id").distinct()
+        )
+        cor = self.corpus.select("image_id", "bytes", "w", "h", "fmt")
+        pairs_b = (
+            img_pairs
+            .join(cor.select(F.col("image_id").alias("x_id"), F.col("bytes").alias("a_bytes"),
+                             F.col("w").alias("a_w"), F.col("h").alias("a_h"),
+                             F.col("fmt").alias("a_fmt")), "x_id")
+            .join(cor.select(F.col("image_id").alias("y_id"), F.col("bytes").alias("b_bytes"),
+                             F.col("w").alias("b_w"), F.col("h").alias("b_h"),
+                             F.col("fmt").alias("b_fmt")), "y_id")
+        )
+        img_dups = (
+            pair_psnr_cols(pairs_b)
+            .filter(F.col("pair_psnr") >= cfg.psnr_floor)
+            .select(F.col("x_seq").alias("fetch_seq")).distinct()
+        )
+
+        # -- caption near-dup: MinHash LSH bands → equi-join → exact Jaccard
+        def with_cbands(df, side):
+            return df.select(
+                F.col("fetch_seq").alias(f"{side}_seq"),
+                F.col("caption").alias(f"{side}_caption"),
+                F.posexplode("bands").alias(f"{side}_cband_idx", f"{side}_cband_val"),
+            )
+
+        xc = with_cbands(batch_surv, "x")
+        yc = with_cbands(all_surv, "y")
+        cap_pairs = (
+            xc.join(yc, (F.col("x_cband_idx") == F.col("y_cband_idx"))
+                    & (F.col("x_cband_val") == F.col("y_cband_val")), "inner")
+            .filter(F.col("y_seq") < F.col("x_seq"))
+            .select("x_seq", "x_caption", "y_seq", "y_caption").distinct()
+        )
+        cap_dups = (
+            cap_pairs.withColumn("jac", jaccard3_udf("x_caption", "y_caption"))
+            .filter(F.col("jac") >= cfg.jaccard_theta)
+            .select(F.col("x_seq").alias("fetch_seq")).distinct()
+        )
+
+        # -- statuses (priority: dup_exact > neardup_image > neardup_caption)
+        statused = (
+            fx.join(img_dups.withColumn("is_img_dup", F.lit(True)), "fetch_seq", "left")
+            .join(cap_dups.withColumn("is_cap_dup", F.lit(True)), "fetch_seq", "left")
+            .withColumn(
+                "status",
+                F.when(F.col("is_exact_dup"), "dup_exact")
+                .when(F.col("is_img_dup").isNotNull(), "neardup_image")
+                .when(F.col("is_cap_dup").isNotNull(), "neardup_caption")
+                .otherwise("kept"),
+            )
+            .persist()
+        )
+        log_add = statused.select(
+            "fetch_seq", F.lit(r).alias("round"), "canon_url", "host", "image_id",
+            "priority", "discovered_seq", "status",
+        )
+        kept_add = statused.filter("status = 'kept'").select(
+            "fetch_seq", "image_id", "caption", "phash", "content_sha"
+        )
+
+        # -- politeness clocks: per HOST (re-aggregated across salt buckets)
+        fetched_hosts = statused.select("host").distinct()
+        hn_new = (
+            fetched_hosts.join(F.broadcast(self.robots.select("host", "crawl_delay")), "host", "left")
+            .withColumn("delay", F.coalesce("crawl_delay", F.lit(cfg.default_delay)))
+            .select("host", (F.lit(r + 1) + F.ceil("delay")).cast("int").alias("next_round"))
+        )
+        host_next2 = (
+            host_next.unionByName(hn_new).groupBy("host")
+            .agg(F.max("next_round").alias("next_round"))
+        )
+
+        # -- discoveries: link UDTF (JVM-side pure function) → canon → seen/robots
+        nl = F.lit(self.n_corpus)
+        idx = F.substring("image_id", 5, 8).cast("long")
+        d = (idx * 7919 + 13) % 6
+        raw_targets = F.transform(F.sequence(F.lit(1), d.cast("int")),
+                                  lambda k: (idx * 17 + k.cast("long") * 101 + 7) % nl)
+        targets = F.when(d >= 1, F.array_sort(F.array_remove(F.array_distinct(raw_targets), idx))
+                         ).otherwise(F.array().cast("array<bigint>"))
+        links = (
+            statused.select("fetch_seq", "priority", F.posexplode(targets).alias("link_pos", "target"))
+            .withColumn("t_image_id", F.concat(F.lit("img-"), F.lpad(F.col("target").cast("string"), 8, "0")))
+        )
+        disc = links.join(url_map, links.t_image_id == url_map.image_id, "inner").select(
+            "fetch_seq", "link_pos", "priority", "canon_url", "host", "path"
+        ).persist()
+        n_links = disc.count()
+
+        wdisc = Window.partitionBy("canon_url").orderBy("fetch_seq", "link_pos")
+        first = disc.withColumn("rn", F.row_number().over(wdisc)).filter("rn = 1").drop("rn")
+        new = first.join(cat.read("seen"), "canon_url", "left_anti")
+        new = (
+            new.join(F.broadcast(self.robots.select("host", "disallow")), "host", "left")
+            .withColumn(
+                "allowed",
+                ~F.exists(F.coalesce("disallow", F.array().cast("array<string>")),
+                          lambda p: F.col("path").startswith(p)),
+            ).persist()
+        )
+        n_new = new.count()
+        allowed_new = new.filter("allowed")
+        wnewseq = Window.orderBy("fetch_seq", "link_pos")
+        frontier_add = allowed_new.select(
+            "canon_url",
+            F.xxhash64("canon_url").alias("url_hash"),
+            "host",
+            _bucket(F.col("host"), F.col("canon_url"), cfg).alias("bucket"),
+            (F.col("priority") + 1).alias("priority"),
+            (F.row_number().over(wnewseq) - 1 + F.lit(ctr["next_seq"])).cast("long").alias("discovered_seq"),
+            F.lit(r + 1).alias("ready_round"),
+        )
+        n_allowed = allowed_new.count()
+        seen_add = new.select("canon_url", F.xxhash64("canon_url").alias("url_hash"))
+        frontier2 = (
+            frontier.join(batch.select("discovered_seq"), "discovered_seq", "left_anti")
+            .unionByName(frontier_add)
+        )
+
+        # -- metrics with per-partition (bucket) lineage
+        status_counts = (
+            statused.groupBy("bucket").pivot(
+                "status", ["kept", "dup_exact", "neardup_image", "neardup_caption"]
+            ).count().na.fill(0)
+        )
+        metrics_add = status_counts.select(
+            F.lit(r).alias("round"),
+            F.col("bucket").alias("partition_id"),
+            (F.col("kept") + F.col("dup_exact") + F.col("neardup_image") + F.col("neardup_caption"))
+            .cast("long").alias("fetched"),
+            F.col("kept").cast("long").alias("kept"),
+            F.col("dup_exact").cast("long").alias("dup_exact"),
+            F.col("neardup_image").cast("long").alias("neardup_image"),
+            F.col("neardup_caption").cast("long").alias("neardup_caption"),
+            F.lit(0).cast("long").alias("rejected_robots"),
+            F.lit(0).cast("long").alias("rejected_seen"),
+        ).unionByName(
+            self.spark.createDataFrame(
+                [(r, -1, 0, 0, 0, 0, 0, int(n_new - n_allowed), int(n_links - n_new))],
+                schemas.METRICS,
+            )
+        )
+
+        # -- snapshot commit (atomic; resume point). State deltas go through
+        # append-only tables (Iceberg append semantics — no rewrite
+        # amplification); only frontier + host clocks are rewritten.
+        cat.stage("frontier", frontier2.repartition(8, "bucket"))
+        cat.stage("host_next", host_next2)
+        cat.append("seen", seen_add, partitions=1)
+        cat.append("survivors", batch_surv.select(*SURVIVOR_COLS), partitions=1)
+        cat.append("crawl_log", log_add, partitions=1)
+        cat.append("images_kept", kept_add, partitions=1)
+        cat.append("metrics", metrics_add, partitions=1)
+        cat.commit(r, {
+            "next_seq": int(ctr["next_seq"] + n_allowed),
+            "next_fetch_seq": int(ctr["next_fetch_seq"] + n_fetched),
+            "budget_spent": int(ctr["budget_spent"] + n_fetched),
+        })
+        for df in (fetched, batch_surv, statused, disc, new):
+            df.unpersist()
+        n_frontier = cat.read("frontier").count()
+        return {"fetched": n_fetched, "frontier": n_frontier, "stopped": n_frontier == 0}
+
+    # ------------------------------------------------------------------- run
+    def run(self) -> dict:
+        if not self.cat.exists("frontier"):
+            self.init_state()
+        start = self.cat.round + 1
+        total = 0
+        for r in range(start, self.cfg.max_rounds):
+            info = self.run_round(r)
+            total += info["fetched"]
+            if info["stopped"]:
+                break
+        return {"rounds": self.cat.round + 1, "fetched_total": total}
