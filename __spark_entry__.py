@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash). Implementations live in web_crawler_spark/plans/{queries,
+pipeline_ops}.py; this module is pure registry.
 """
 
 from __future__ import annotations
@@ -13,26 +13,84 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from web_crawler_spark.plans import pipeline_ops as P
+from web_crawler_spark.plans import queries as Q
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: TPC-H-Q1-shaped pricing
+    summary (groupBy + 6 aggregates with pushdown filter)."""
+    return Q.q_pricing_summary(spark, "/root/testdata/sf0.001")
+
+
+_SQL_CHECKED = {
+    # scans / projections / scalar functions
+    "scan_project": (Q.q_scan_project, Q.SQL_SCAN_PROJECT),
+    "case_route": (Q.q_case_route, Q.SQL_CASE_ROUTE),
+    "string_functions": (Q.q_string_functions, Q.SQL_STRING_FUNCTIONS),
+    "datetime_functions": (Q.q_datetime_functions, Q.SQL_DATETIME_FUNCTIONS),
+    "math_functions": (Q.q_math_functions, Q.SQL_MATH_FUNCTIONS),
+    "json_extract": (Q.q_json_extract, Q.SQL_JSON_EXTRACT),
+    "host_extract": (Q.q_host_extract, Q.SQL_HOST_EXTRACT),
+    # joins
+    "fetch_join": (Q.q_fetch_join, Q.SQL_FETCH_JOIN),
+    "broadcast_left_join": (Q.q_broadcast_left_join, Q.SQL_BROADCAST_LEFT_JOIN),
+    "semi_join": (Q.q_semi_join, Q.SQL_SEMI_JOIN),
+    "anti_join": (Q.q_anti_join, Q.SQL_ANTI_JOIN),
+    "cross_join": (Q.q_cross_join, Q.SQL_CROSS_JOIN),
+    "self_join_band": (Q.q_self_join_band, Q.SQL_SELF_JOIN_BAND),
+    "asof_join": (Q.q_asof_join, Q.SQL_ASOF_JOIN),
+    "range_join": (Q.q_range_join, Q.SQL_RANGE_JOIN),
+    # aggregation
+    "pricing_summary": (Q.q_pricing_summary, Q.SQL_PRICING_SUMMARY),
+    "first_writer_wins": (Q.q_first_writer_wins, Q.SQL_FIRST_WRITER_WINS),
+    "host_clock": (Q.q_host_clock, Q.SQL_HOST_CLOCK),
+    "metrics_rollup": (Q.q_metrics_rollup, Q.SQL_METRICS_ROLLUP),
+    "cube_agg": (Q.q_cube_agg, Q.SQL_CUBE_AGG),
+    "grouping_sets": (Q.q_grouping_sets, Q.SQL_GROUPING_SETS),
+    "distinct_count": (Q.q_distinct_count, Q.SQL_DISTINCT_COUNT),
+    "bitmap_distinct": (Q.q_bitmap_distinct, Q.SQL_BITMAP_DISTINCT),
+    # window / sort / limit
+    "topk_per_group": (Q.q_topk_per_group, Q.SQL_TOPK_PER_GROUP),
+    "global_order": (Q.q_global_order, Q.SQL_GLOBAL_ORDER),
+    "rank_functions": (Q.q_rank_functions, Q.SQL_RANK_FUNCTIONS),
+    "lag_gap": (Q.q_lag_gap, Q.SQL_LAG_GAP),
+    "running_sum": (Q.q_running_sum, Q.SQL_RUNNING_SUM),
+    "sort_limit": (Q.q_sort_limit, Q.SQL_SORT_LIMIT),
+    "window_tumbling": (Q.q_window_tumbling, Q.SQL_WINDOW_TUMBLING),
+    "session_window": (Q.q_session_window, Q.SQL_SESSION_WINDOW),
+    # set ops / pivot
+    "union_all": (Q.q_union_all, Q.SQL_UNION_ALL),
+    "except_op": (Q.q_except_op, Q.SQL_EXCEPT_OP),
+    "intersect_op": (Q.q_intersect_op, Q.SQL_INTERSECT_OP),
+    "pivot": (Q.q_pivot, Q.SQL_PIVOT),
+    # training-data pipeline (SQL-expressible part)
+    "dedup_exact": (Q.q_dedup_exact, Q.SQL_DEDUP_EXACT),
+    "doc_fingerprint": (Q.q_doc_fingerprint, Q.SQL_DOC_FINGERPRINT),
+    "token_count": (Q.q_token_count, Q.SQL_TOKEN_COUNT),
+    "text_quality": (Q.q_text_quality, Q.SQL_TEXT_QUALITY),
+    "ngram_jaccard": (Q.q_ngram_jaccard, Q.SQL_NGRAM_JACCARD),
+    "embedding_cosine_topk": (Q.q_embedding_cosine_topk, Q.SQL_EMBEDDING_COSINE_TOPK),
+}
+
+_ROWS_ONLY = {
+    # non-SQL-expressible: sketches, seeded LSH, UDF heuristics, crawl loop
+    "approx_distinct": Q.q_approx_distinct,
+    "dedup_minhash_lsh": P.q_dedup_minhash_lsh,
+    "dedup_simhash": P.q_dedup_simhash,
+    "ann_lsh": P.q_ann_lsh,
+    "lang_id": P.q_lang_id,
+    "bloom_prefilter": P.q_bloom_prefilter,
+    "image_pipeline": P.q_image_pipeline,
+    "crawl_superstep": P.q_crawl_superstep,
+}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out = {name: fn for name, (fn, _) in _SQL_CHECKED.items()}
+    out.update(_ROWS_ONLY)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: sql for name, (_, sql) in _SQL_CHECKED.items()}

@@ -1,0 +1,48 @@
+"""Per-operator DuckDB parity at sf0.001 — a fast in-repo mirror of the
+driver's correctness gate (full sweep: tools/check_queries.py)."""
+
+import duckdb
+import pytest
+
+import __spark_entry__ as E
+from tools.check_queries import compare
+
+SF = "/root/testdata/sf0.001"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+# representative slice across operator families (full set runs in the
+# driver and in tools/check_queries.py at sf0.01)
+SAMPLE = [
+    "pricing_summary", "fetch_join", "asof_join", "topk_per_group",
+    "session_window", "metrics_rollup", "bitmap_distinct", "pivot",
+    "ngram_jaccard", "embedding_cosine_topk", "lag_gap", "dedup_exact",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return con
+
+
+@pytest.mark.parametrize("name", SAMPLE)
+def test_query_matches_oracle(spark, duck, name):
+    spdf = E.queries()[name](spark, SF).toPandas()
+    dkdf = duck.sql(E.oracle_sql()[name]).df()
+    problems = compare(spdf, dkdf, name)
+    assert not problems, problems
+
+
+def test_entry_smoke(spark):
+    df = E.entry(spark)
+    assert df.count() > 0
+
+
+def test_rows_only_queries_run(spark):
+    for name in ["dedup_minhash_lsh", "dedup_simhash", "ann_lsh", "lang_id",
+                 "bloom_prefilter", "image_pipeline"]:
+        df = E.queries()[name](spark, SF)
+        assert df.count() >= 0, name

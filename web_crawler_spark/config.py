@@ -15,4 +15,6 @@ class CrawlConfig:
     psnr_floor: float = 40.0
     jaccard_theta: float = 0.8
     n_buckets: int = 64          # salted host-hash frontier buckets (≫ at cluster scale)
-    n_salts: int = 8             # salt fan-out per host against hot-domain skew
+    n_salts: int = 256           # salt fan-out per host against hot-domain skew;
+                                 # ~4× n_buckets keeps max/mean bucket load ≤ 2 on
+                                 # Zipf(1.1) hosts (tests/test_skew.py property)

@@ -1,0 +1,238 @@
+"""Training-data-pipeline operators with no exact SQL twin (driver runs
+rows-only checks; pytest asserts the semantic properties).
+
+All Python compute is Arrow-batched (pandas UDFs / mapInPandas /
+applyInPandas) — no per-row Python UDFs (BASELINE.json input_hint).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F, types as T
+
+from web_crawler_spark.core import minhash
+from web_crawler_spark.functions.udfs import caption_bands_udf, jaccard3_udf
+
+
+def _docs(spark, sf):
+    return spark.read.parquet(f"{sf}/documents.parquet")
+
+
+def _emb(spark, sf):
+    return spark.read.parquet(f"{sf}/embeddings.parquet")
+
+
+# ------------------------------------------------------------- MinHash LSH
+
+def q_dedup_minhash_lsh(spark, sf):
+    """Near-dup text pairs: MinHash(64) → 16 LSH bands → band equi-join →
+    exact 3-shingle Jaccard residual ≥ 0.5. The same operator stack the
+    crawl engine uses for caption dedup (SURVEY.md A8/J4), applied to
+    documents.text. Scale path: the band join shuffles only
+    (band_idx, band_val) keys, never full text × text."""
+    d = _docs(spark, sf).select("doc_id", "text").withColumn("bands", caption_bands_udf("text"))
+    ex = d.select("doc_id", "text", F.posexplode("bands").alias("band_idx", "band_val"))
+    a = ex.select(F.col("doc_id").alias("a_id"), F.col("text").alias("a_text"), "band_idx", "band_val")
+    b = ex.select(F.col("doc_id").alias("b_id"), F.col("text").alias("b_text"), "band_idx", "band_val")
+    pairs = (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "a_text", "b_text")
+        .distinct()
+    )
+    return (
+        pairs.withColumn("jac", F.round(jaccard3_udf("a_text", "b_text"), 4))
+        .filter(F.col("jac") >= 0.5)
+        .select("a_id", "b_id", "jac")
+    )
+
+
+# ----------------------------------------------------------------- SimHash
+
+@F.pandas_udf(T.LongType())
+def simhash_udf(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash over word unigrams (vectorized per Arrow batch)."""
+    out = np.zeros(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts.fillna("")):
+        words = t.lower().split()
+        if not words:
+            continue
+        hs = np.array([minhash._hash_shingle(w) for w in words], dtype=np.uint64)
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+        acc = (bits * 2 - 1).sum(axis=0)
+        sig = np.uint64(0)
+        for j in range(63):  # 63 bits → stays non-negative in int64
+            if acc[j] > 0:
+                sig |= np.uint64(1) << np.uint64(j)
+        out[i] = np.int64(sig)
+    return pd.Series(out)
+
+
+def q_dedup_simhash(spark, sf):
+    """SimHash near-dup candidates: 4×16-bit band equi-join, Hamming ≤ 6
+    verification via bit_count(xor) — all JVM-side after the signature."""
+    d = _docs(spark, sf).select("doc_id", "text").withColumn("sh", simhash_udf("text"))
+    bands = F.array(*[F.shiftrightunsigned("sh", s).bitwiseAND(F.lit(0xFFFF)) for s in (0, 16, 32, 48)])
+    ex = d.select("doc_id", "sh", F.posexplode(bands).alias("band_idx", "band_val"))
+    a = ex.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("a_sh"), "band_idx", "band_val")
+    b = ex.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("b_sh"), "band_idx", "band_val")
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", F.bit_count(F.col("a_sh").bitwiseXOR(F.col("b_sh"))).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= 6)
+    )
+
+
+# ------------------------------------------------------------------ LSH ANN
+
+def q_ann_lsh(spark, sf):
+    """Approximate nearest neighbors: seeded random-hyperplane LSH (16-bit
+    signs) buckets the embedding space; neighbor candidates come from the
+    same bucket (equi-join), then exact cosine re-ranks. This is the scale
+    path behind q_embedding_cosine_topk's brute-force baseline: the join
+    is on bucket keys, so each embedding only compares within its bucket."""
+    e = _emb(spark, sf).select("vec_id", "embedding")
+
+    @F.pandas_udf(T.IntegerType())
+    def hyperplane_bucket(embs: pd.Series) -> pd.Series:
+        rng = np.random.default_rng(20260816)
+        planes = rng.standard_normal((16, 64))
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in embs])
+        signs = (m @ planes.T) > 0
+        return pd.Series((signs * (1 << np.arange(16))).sum(axis=1).astype(np.int32))
+
+    b = e.withColumn("bucket", hyperplane_bucket("embedding"))
+    a_side = b.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"), "bucket")
+    c_side = b.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"), "bucket")
+    dbl = lambda col: F.transform(col, lambda x: x.cast("double"))
+    dot = F.aggregate(F.zip_with(dbl(F.col("q_emb")), dbl(F.col("c_emb")), lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    norm = lambda col: F.sqrt(F.aggregate(dbl(col), F.lit(0.0), lambda acc, v: acc + v * v))
+    pairs = (
+        a_side.join(c_side, "bucket")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .withColumn("cos", F.round(dot / (norm(F.col("q_emb")) * norm(F.col("c_emb"))), 6))
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cos"), "c_id")
+    return (
+        pairs.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 3)
+        .select("q_id", "rk", "c_id", "cos", "bucket")
+    )
+
+
+# ------------------------------------------------------------- language ID
+
+@F.pandas_udf(T.StringType())
+def lang_id_udf(texts: pd.Series) -> pd.Series:
+    """Character n-gram heuristic language ID (no external models):
+    scores per-language marker characters/digraphs, vectorized."""
+    t = texts.fillna("").str.lower()
+    scores = pd.DataFrame(index=t.index)
+    scores["zh"] = t.str.count(r"[一-鿿]")
+    scores["ru"] = t.str.count(r"[Ѐ-ӿ]")
+    scores["es"] = t.str.count(r"[ñáéíóú]") * 3 + t.str.count(r"\b(el|la|los|de|que)\b")
+    scores["de"] = t.str.count(r"[äöüß]") * 3 + t.str.count(r"\b(der|die|das|und|ist)\b")
+    scores["en"] = t.str.count(r"\b(the|a|of|and|is)\b") + 0.1
+    return scores.idxmax(axis=1)
+
+
+def q_lang_id(spark, sf):
+    d = _docs(spark, sf)
+    return (
+        d.withColumn("lang_pred", lang_id_udf("text"))
+        .select("doc_id", "lang", "lang_pred",
+                (F.col("lang") == F.col("lang_pred")).alias("correct"))
+    )
+
+
+# -------------------------------------------------------- Bloom prefilter
+
+def q_bloom_prefilter(spark, sf):
+    """Mergeable per-partition Bloom sketch over customer keys (SURVEY.md
+    A7): per-bucket bitarrays built with applyInPandas, reported as
+    (bucket, n_items, bits_set, fpr_bound). The crawl engine uses this
+    shape as a seen-set PREFILTER only — membership decisions stay exact
+    (anti-join), because a sketch false-positive would wrongly drop URLs."""
+    c = spark.read.parquet(f"{sf}/customer.parquet").select("c_custkey")
+    M_BITS, K_HASH = 1 << 16, 4
+    c = c.withColumn("bucket", F.pmod(F.xxhash64("c_custkey"), F.lit(8)).cast("int"))
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        keys = pdf["c_custkey"].to_numpy(np.uint64)
+        bits = np.zeros(M_BITS, dtype=bool)
+        x = keys.copy()
+        for j in range(K_HASH):
+            with np.errstate(over="ignore"):
+                x = x * np.uint64(0x9E3779B97F4A7C15) + np.uint64(j + 1)
+            bits[(x >> np.uint64(40)) % np.uint64(M_BITS)] = True
+        n, m = len(keys), int(bits.sum())
+        fpr = (m / M_BITS) ** K_HASH
+        return pd.DataFrame({"bucket": [int(pdf["bucket"].iloc[0])], "n_items": [n],
+                             "bits_set": [m], "fpr_bound": [round(fpr, 6)]})
+
+    return c.groupBy("bucket").applyInPandas(
+        build, "bucket int, n_items long, bits_set long, fpr_bound double")
+
+
+# ------------------------------------------------- multimodal image pipeline
+
+def q_image_pipeline(spark, sf):
+    """End-to-end multimodal plumbing on a deterministic in-flight corpus:
+    spark.range → generate pixels (seeded per id) → encode lossy → decode →
+    pHash + PSNR-vs-original, all inside one mapInPandas pass (binary
+    columns never leave the Arrow batch). Heavier codecs (JPEG decode,
+    resize, frame-sample) slot into the same signature."""
+    from web_crawler_spark.core import imagecodec, phash as ph
+
+    def gen_and_verify(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids = pdf["id"].to_numpy()
+            rows = {"id": [], "w": [], "h": [], "fmt": [], "phash": [], "psnr_db": [], "psnr_ok": []}
+            for i in ids:
+                rng = np.random.default_rng(1000 + int(i))
+                w, h = int(rng.choice([32, 48])), int(rng.choice([32, 48]))
+                px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+                enc = imagecodec.encode(px, "q6")
+                dec = imagecodec.decode(enc, w, h, "q6")
+                p = imagecodec.psnr(px, dec)
+                rows["id"].append(int(i)); rows["w"].append(w); rows["h"].append(h)
+                rows["fmt"].append("q6"); rows["phash"].append(ph.phash(dec))
+                rows["psnr_db"].append(round(min(p, 99.0), 2)); rows["psnr_ok"].append(p >= 40.0)
+            yield pd.DataFrame(rows)
+
+    return spark.range(0, 256, 1, 8).mapInPandas(
+        gen_and_verify,
+        "id long, w int, h int, fmt string, phash long, psnr_db double, psnr_ok boolean",
+    )
+
+
+# ------------------------------------------------------------ crawl slice
+
+def q_crawl_superstep(spark, sf):
+    """A miniature end-to-end crawl (2 supersteps) on a deterministic
+    in-repo fixture — the flagship fetch→dedup→discover loop as seen by
+    the driver. Fixture + run dirs are content-addressed by config so
+    re-runs are idempotent (no wall-clock anywhere)."""
+    import os
+
+    from fixtures.gen import generate
+    from web_crawler_spark.config import CrawlConfig
+    from web_crawler_spark.plans.crawl import CrawlEngine
+
+    fix = "/tmp/wcs_q_fix_n60"
+    if not os.path.exists(os.path.join(fix, "corpus.parquet")):
+        generate(fix, n=60, n_hosts=8)
+    run = "/tmp/wcs_q_run_n60_k2_r2"
+    cfg = CrawlConfig(per_host_k=2, max_rounds=2)
+    eng = CrawlEngine(spark, fix, run, cfg)
+    if eng.cat.round < cfg.max_rounds - 1:
+        eng.run()
+    return eng.cat.read("crawl_log").select(
+        "fetch_seq", "round", "canon_url", "host", "image_id", "priority", "status"
+    )

@@ -1,0 +1,738 @@
+"""Per-operator driver checks: Spark DataFrame plans + DuckDB oracle SQL.
+
+One entry per implemented operator from SURVEY.md §2 (the coverage
+checklist) plus the training-data-pipeline operators (dedup family,
+similarity search, text analysis, multimodal plumbing). Each Spark plan
+is written Catalyst-first: filters/projections push to the parquet scan,
+small dims broadcast, LSH turns similarity into equi-joins, pandas UDFs
+appear only where built-ins genuinely can't express the semantics.
+
+Registered via __spark_entry__.queries()/oracle_sql(); the driver runs
+both sides at sf=0.01 and compares row-count + schema + value-hash.
+Column names are aliased identically on both sides (driver contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F, types as T
+
+STOPWORDS = ("the", "a", "key", "value", "row", "table")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# =============================== S2/P-family: scans, projections, scalars ==
+
+def q_scan_project(spark, sf):
+    return (
+        _t(spark, sf, "documents")
+        .filter(F.col("n_chars") > 200)
+        .select("doc_id", "lang", "n_chars")
+    )
+
+SQL_SCAN_PROJECT = "SELECT doc_id, lang, n_chars FROM documents WHERE n_chars > 200"
+
+
+def q_case_route(spark, sf):
+    return (
+        _t(spark, sf, "part")
+        .withColumn(
+            "size_class",
+            F.when(F.col("p_size") < 10, "small")
+            .when(F.col("p_size") < 30, "medium")
+            .otherwise("large"),
+        )
+        .groupBy("size_class")
+        .agg(F.count("*").alias("n_parts"), F.round(F.avg("p_retailprice"), 4).alias("avg_price"))
+    )
+
+SQL_CASE_ROUTE = """
+SELECT CASE WHEN p_size < 10 THEN 'small' WHEN p_size < 30 THEN 'medium' ELSE 'large' END AS size_class,
+       count(*) AS n_parts, round(avg(p_retailprice), 4) AS avg_price
+FROM part GROUP BY 1
+"""
+
+
+def q_string_functions(spark, sf):
+    return _t(spark, sf, "part").select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_u"),
+        F.substring("p_name", 1, 5).alias("name5"),
+        F.length("p_name").alias("name_len"),
+        F.regexp_replace("p_name", " ", "_").alias("name_us"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+    )
+
+SQL_STRING_FUNCTIONS = """
+SELECT p_partkey, upper(p_brand) AS brand_u, substring(p_name, 1, 5) AS name5,
+       length(p_name) AS name_len, regexp_replace(p_name, ' ', '_', 'g') AS name_us,
+       concat_ws('|', p_brand, p_type) AS brand_type
+FROM part
+"""
+
+
+def q_datetime_functions(spark, sf):
+    return (
+        _t(spark, sf, "orders")
+        .select(
+            F.year("o_orderdate").alias("yr"),
+            F.month("o_orderdate").alias("mo"),
+        )
+        .groupBy("yr", "mo")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+SQL_DATETIME_FUNCTIONS = """
+SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo, count(*) AS n_orders
+FROM orders GROUP BY 1, 2
+"""
+
+
+def q_math_functions(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sqrt("l_quantity"), 4).alias("sqrt_qty"),
+        F.round(F.log("l_extendedprice"), 4).alias("ln_price"),
+        F.round(F.pow(F.col("l_discount"), F.lit(2)), 6).alias("disc_sq"),
+        F.abs(F.col("l_tax") - F.col("l_discount")).alias("tax_disc_gap"),
+    )
+
+SQL_MATH_FUNCTIONS = """
+SELECT l_orderkey, l_linenumber, round(sqrt(l_quantity), 4) AS sqrt_qty,
+       round(ln(l_extendedprice), 4) AS ln_price,
+       round(pow(l_discount, 2), 6) AS disc_sq,
+       abs(l_tax - l_discount) AS tax_disc_gap
+FROM lineitem
+"""
+
+
+def q_json_extract(spark, sf):
+    return (
+        _t(spark, sf, "events")
+        .withColumn("k_val", F.get_json_object("props", "$.k").cast("int"))
+        .groupBy("k_val")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+
+SQL_JSON_EXTRACT = """
+SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
+       count(*) AS n, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1
+"""
+
+
+def q_host_extract(spark, sf):
+    d = _t(spark, sf, "documents")
+    url = F.concat(F.lit("http://"), "source", F.lit(".example/d/"), F.col("doc_id").cast("string"))
+    return d.select(
+        "doc_id",
+        F.regexp_extract(url, "^http://([^/]+)", 1).alias("host"),
+        F.regexp_extract(url, "^http://[^/]+(/.*)$", 1).alias("path"),
+    )
+
+SQL_HOST_EXTRACT = """
+SELECT doc_id,
+       regexp_extract('http://' || source || '.example/d/' || doc_id, '^http://([^/]+)', 1) AS host,
+       regexp_extract('http://' || source || '.example/d/' || doc_id, '^http://[^/]+(/.*)$', 1) AS path
+FROM documents
+"""
+
+
+# ============================================================ J-family: joins
+
+def q_fetch_join(spark, sf):
+    o, c = _t(spark, sf, "orders"), _t(spark, sf, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+
+SQL_FETCH_JOIN = """
+SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1
+"""
+
+
+def q_broadcast_left_join(spark, sf):
+    c, n = _t(spark, sf, "customer"), _t(spark, sf, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "left")
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_customers"), F.round(F.avg("c_acctbal"), 4).alias("avg_bal"))
+    )
+
+SQL_BROADCAST_LEFT_JOIN = """
+SELECT n_name, count(*) AS n_customers, round(avg(c_acctbal), 4) AS avg_bal
+FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+GROUP BY 1
+"""
+
+
+def q_semi_join(spark, sf):
+    c, o = _t(spark, sf, "customer"), _t(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_active"))
+    )
+
+SQL_SEMI_JOIN = """
+SELECT c_mktsegment, count(*) AS n_active FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY 1
+"""
+
+
+def q_anti_join(spark, sf):
+    c, o = _t(spark, sf, "customer"), _t(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+SQL_ANTI_JOIN = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q_cross_join(spark, sf):
+    r, n = _t(spark, sf, "region"), _t(spark, sf, "nation")
+    return r.crossJoin(n).agg(F.count("*").alias("n_pairs"))
+
+SQL_CROSS_JOIN = "SELECT count(*) AS n_pairs FROM region CROSS JOIN nation"
+
+
+def q_self_join_band(spark, sf):
+    n = _t(spark, sf, "nation")
+    a = n.select(F.col("n_nationkey").alias("a_key"), F.col("n_regionkey").alias("n_regionkey"))
+    b = n.select(F.col("n_nationkey").alias("b_key"), F.col("n_regionkey").alias("n_regionkey"))
+    return (
+        a.join(b, "n_regionkey")
+        .filter(F.col("a_key") < F.col("b_key"))
+        .groupBy("n_regionkey")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+SQL_SELF_JOIN_BAND = """
+SELECT a.n_regionkey AS n_regionkey, count(*) AS n_pairs
+FROM nation a JOIN nation b ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+GROUP BY 1
+"""
+
+
+def q_asof_join(spark, sf):
+    """As-of join (Spark lacks a native one): for each 'click' event, the
+    most recent 'signup' ts of the same user at or before it. Implemented
+    as a union + running last_value carried forward — one shuffle on
+    user_id, no range explosion (SURVEY.md J6 pattern)."""
+    e = _t(spark, sf, "events")
+    a = e.filter(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    b = e.filter(F.col("event_type") == "signup").select("user_id", F.col("ts").alias("bts"))
+    u = a.select("user_id", "ts", "event_id", F.lit(None).cast("timestamp").alias("bts"),
+                 F.lit(1).alias("tag")).unionByName(
+        b.select("user_id", F.col("bts").alias("ts"), F.lit(None).cast("long").alias("event_id"),
+                 "bts", F.lit(0).alias("tag"))
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "tag").rowsBetween(W.unboundedPreceding, 0)
+    out = u.withColumn("last_signup_ts", F.last("bts", ignorenulls=True).over(w))
+    return out.filter(F.col("tag") == 1).select("event_id", "user_id", "last_signup_ts")
+
+SQL_ASOF_JOIN = """
+SELECT a.event_id AS event_id, a.user_id AS user_id, b.ts AS last_signup_ts
+FROM (SELECT * FROM events WHERE event_type = 'click') a
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') b
+  ON a.user_id = b.user_id AND a.ts >= b.ts
+"""
+
+
+def q_range_join(spark, sf):
+    d = _t(spark, sf, "documents")
+    a = d.select(F.col("doc_id").alias("a_id"), "lang", F.col("n_chars").alias("a_n"))
+    b = d.select(F.col("doc_id").alias("b_id"), "lang", F.col("n_chars").alias("b_n"))
+    return (
+        a.join(b, "lang")
+        .filter((F.col("a_id") < F.col("b_id"))
+                & (F.col("b_n") >= F.col("a_n") - 5) & (F.col("b_n") <= F.col("a_n") + 5))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_close_pairs"))
+    )
+
+SQL_RANGE_JOIN = """
+SELECT a.lang AS lang, count(*) AS n_close_pairs
+FROM documents a JOIN documents b
+  ON a.lang = b.lang AND a.doc_id < b.doc_id AND b.n_chars BETWEEN a.n_chars - 5 AND a.n_chars + 5
+GROUP BY 1
+"""
+
+
+# ===================================================== A-family: aggregation
+
+def q_pricing_summary(spark, sf):
+    """TPC-H Q1-shaped flagship rollup (SURVEY.md 'harness' anchor)."""
+    li = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY 1, 2
+"""
+
+
+def q_first_writer_wins(spark, sf):
+    d = _t(spark, sf, "documents")
+    w = W.partitionBy("lang").orderBy("n_chars", "doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+        .select("lang", "doc_id", "n_chars")
+    )
+
+SQL_FIRST_WRITER_WINS = """
+SELECT lang, doc_id, n_chars FROM documents
+QUALIFY row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) = 1
+"""
+
+
+def q_host_clock(spark, sf):
+    return (
+        _t(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(F.max("ts").alias("last_ts"), F.count("*").alias("n_events"))
+    )
+
+SQL_HOST_CLOCK = "SELECT user_id, max(ts) AS last_ts, count(*) AS n_events FROM events GROUP BY 1"
+
+
+def q_metrics_rollup(spark, sf):
+    return (
+        _t(spark, sf, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+SQL_METRICS_ROLLUP = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_cube_agg(spark, sf):
+    return (
+        _t(spark, sf, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count("*").alias("n"))
+    )
+
+SQL_CUBE_AGG = """
+SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def q_grouping_sets(spark, sf):
+    _t(spark, sf, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """)
+
+SQL_GROUPING_SETS = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n
+FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+def q_distinct_count(spark, sf):
+    return _t(spark, sf, "lineitem").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct("l_returnflag", "l_linestatus").alias("n_flag_status"),
+    )
+
+SQL_DISTINCT_COUNT = """
+SELECT count(DISTINCT l_partkey) AS n_parts, count(DISTINCT l_suppkey) AS n_supps,
+       count(DISTINCT (l_returnflag, l_linestatus)) AS n_flag_status
+FROM lineitem
+"""
+
+
+def q_bitmap_distinct(spark, sf):
+    """Exact distinct via Spark's bitmap agg family (SURVEY.md A6): the
+    compact seen-set representation — count must equal COUNT(DISTINCT)."""
+    c = _t(spark, sf, "customer")
+    per_bucket = (
+        c.select(F.bitmap_bucket_number("c_custkey").alias("bkt"),
+                 F.bitmap_bit_position("c_custkey").alias("pos"))
+        .groupBy("bkt")
+        .agg(F.bitmap_construct_agg("pos").alias("bm"))
+    )
+    return per_bucket.agg(F.sum(F.bitmap_count("bm")).alias("n_distinct"))
+
+SQL_BITMAP_DISTINCT = "SELECT count(DISTINCT c_custkey) AS n_distinct FROM customer"
+
+
+def q_approx_distinct(spark, sf):
+    # rows-only: HLL estimate has no exact SQL twin; tolerance asserted in pytest
+    return _t(spark, sf, "lineitem").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
+# ================================================== W-family: window / sort
+
+def q_topk_per_group(spark, sf):
+    o = _t(spark, sf, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        o.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 3)
+        .select("o_orderpriority", "rk", "o_orderkey", "o_totalprice")
+    )
+
+SQL_TOPK_PER_GROUP = """
+SELECT o_orderpriority, row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rk,
+       o_orderkey, o_totalprice
+FROM orders
+QUALIFY rk <= 3
+"""
+
+
+def q_global_order(spark, sf):
+    e = _t(spark, sf, "events").filter(F.col("event_type") == "click")
+    w = W.orderBy("ts", "event_id")
+    return e.select("event_id", F.row_number().over(w).alias("seq"))
+
+SQL_GLOBAL_ORDER = """
+SELECT event_id, row_number() OVER (ORDER BY ts, event_id) AS seq
+FROM events WHERE event_type = 'click'
+"""
+
+
+def q_rank_functions(spark, sf):
+    o = _t(spark, sf, "orders")
+    wt = W.partitionBy("o_orderstatus").orderBy("o_orderpriority")
+    wu = W.partitionBy("o_orderstatus").orderBy("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.rank().over(wt).alias("rnk"),
+        F.dense_rank().over(wt).alias("drnk"),
+        F.ntile(4).over(wu).alias("quartile"),
+    )
+
+SQL_RANK_FUNCTIONS = """
+SELECT o_orderkey, o_orderstatus,
+       rank() OVER (PARTITION BY o_orderstatus ORDER BY o_orderpriority) AS rnk,
+       dense_rank() OVER (PARTITION BY o_orderstatus ORDER BY o_orderpriority) AS drnk,
+       ntile(4) OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey) AS quartile
+FROM orders
+"""
+
+
+def q_lag_gap(spark, sf):
+    e = _t(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.unix_micros(F.col("ts").cast("timestamp")) / 1e6  # NTZ→LTZ is exact under UTC session tz
+    gap = sec - F.lag(sec).over(w)
+    return (
+        e.select("user_id", "event_id", F.round(gap, 6).alias("gap_s"))
+        .filter(F.col("gap_s").isNotNull())
+    )
+
+SQL_LAG_GAP = """
+SELECT user_id, event_id,
+       round(epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id), 6) AS gap_s
+FROM events QUALIFY gap_s IS NOT NULL
+"""
+
+
+def q_running_sum(spark, sf):
+    e = _t(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(W.unboundedPreceding, 0)
+    return e.select("user_id", "event_id", F.round(F.sum("value").over(w), 4).alias("running_value"))
+
+SQL_RUNNING_SUM = """
+SELECT user_id, event_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value
+FROM events
+"""
+
+
+def q_sort_limit(spark, sf):
+    return (
+        _t(spark, sf, "orders")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .select("o_orderkey", "o_totalprice")
+        .limit(10)
+    )
+
+SQL_SORT_LIMIT = """
+SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+def q_window_tumbling(spark, sf):
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(F.col("win.start").alias("ws"), "event_type", "n", "sum_value")
+    )
+
+SQL_WINDOW_TUMBLING = """
+SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_session_window(spark, sf):
+    """Sessionization with a 30-minute gap — F.session_window in batch
+    mode (the streaming-shaped operator, SURVEY.md ST2)."""
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id", F.col("sw.start").alias("s_start"), "n_events")
+    )
+
+SQL_SESSION_WINDOW = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL THEN 1 ELSE 0 END AS new_s
+  FROM events
+), sess AS (
+  SELECT user_id, ts, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+)
+SELECT user_id, min(ts) AS s_start, count(*) AS n_events FROM sess GROUP BY user_id, sid
+"""
+
+
+# ======================================================= SO-family: set ops
+
+def q_union_all(spark, sf):
+    o = _t(spark, sf, "orders").select(F.lit("order").alias("src"), F.col("o_custkey").alias("custkey"))
+    c = _t(spark, sf, "customer").select(F.lit("customer").alias("src"), F.col("c_custkey").alias("custkey"))
+    return o.unionByName(c).groupBy("src").agg(F.count("*").alias("n"))
+
+SQL_UNION_ALL = """
+SELECT src, count(*) AS n FROM (
+  SELECT 'order' AS src, o_custkey AS custkey FROM orders
+  UNION ALL SELECT 'customer', c_custkey FROM customer
+) GROUP BY 1
+"""
+
+
+def q_except_op(spark, sf):
+    c = _t(spark, sf, "customer").select(F.col("c_custkey").alias("custkey"))
+    o = _t(spark, sf, "orders").select(F.col("o_custkey").alias("custkey"))
+    return c.exceptAll(o.distinct()).distinct()
+
+SQL_EXCEPT_OP = "SELECT c_custkey AS custkey FROM customer EXCEPT SELECT o_custkey FROM orders"
+
+
+def q_intersect_op(spark, sf):
+    c = _t(spark, sf, "customer").select(F.col("c_custkey").alias("custkey"))
+    o = _t(spark, sf, "orders").select(F.col("o_custkey").alias("custkey"))
+    return c.intersect(o)
+
+SQL_INTERSECT_OP = "SELECT c_custkey AS custkey FROM customer INTERSECT SELECT o_custkey FROM orders"
+
+
+def q_pivot(spark, sf):
+    p = (
+        _t(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+    return p.select(
+        "l_returnflag",
+        F.coalesce("O", F.lit(0.0)).alias("qty_o"),
+        F.coalesce("F", F.lit(0.0)).alias("qty_f"),
+    )
+
+SQL_PIVOT = """
+SELECT l_returnflag,
+       coalesce(round(sum(l_quantity) FILTER (WHERE l_linestatus = 'O'), 2), 0) AS qty_o,
+       coalesce(round(sum(l_quantity) FILTER (WHERE l_linestatus = 'F'), 2), 0) AS qty_f
+FROM lineitem GROUP BY 1
+"""
+
+
+# ================================= training-data pipeline: dedup / text ops
+
+def q_dedup_exact(spark, sf):
+    """Exact dedup by content fingerprint — hash-groupBy, first-writer-wins."""
+    d = _t(spark, sf, "documents")
+    return (
+        d.withColumn("fp", F.md5("text"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_doc"), F.count("*").alias("n_copies"))
+    )
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS fp, min(doc_id) AS keep_doc, count(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+def q_doc_fingerprint(spark, sf):
+    d = _t(spark, sf, "documents")
+    norm = F.lower(F.regexp_replace("text", r"\s+", " "))
+    return d.select("doc_id", F.md5(norm).alias("fp"))
+
+SQL_DOC_FINGERPRINT = r"""
+SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp FROM documents
+"""
+
+
+def q_token_count(spark, sf):
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(r"\S+")).alias("ws_tokens"),
+        F.regexp_count("text", F.lit(r"[a-z]+|[0-9]+")).alias("subword_tokens"),
+        (F.col("n_chars") / F.greatest(F.regexp_count("text", F.lit(r"\S+")), F.lit(1)))
+        .cast("double").alias("chars_per_token"),
+    ).withColumn("chars_per_token", F.round("chars_per_token", 4))
+
+SQL_TOKEN_COUNT = r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '\S+')) AS ws_tokens,
+       len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS subword_tokens,
+       round(n_chars / greatest(len(regexp_extract_all(text, '\S+')), 1), 4) AS chars_per_token
+FROM documents
+"""
+
+
+def q_text_quality(spark, sf):
+    d = _t(spark, sf, "documents")
+    words = F.split(F.col("text"), " ")
+    stop = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS)))
+    return d.select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        F.round(stop / F.greatest(F.size(words), F.lit(1)), 4).alias("stopword_ratio"),
+        F.round(F.col("n_chars") / F.greatest(F.size(words), F.lit(1)), 4).alias("avg_word_len"),
+    )
+
+SQL_TEXT_QUALITY = """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_words,
+       round(len(list_filter(string_split(text, ' '),
+                 w -> w IN ('the','a','key','value','row','table')))
+             / greatest(len(string_split(text, ' ')), 1), 4) AS stopword_ratio,
+       round(n_chars / greatest(len(string_split(text, ' ')), 1), 4) AS avg_word_len
+FROM documents
+"""
+
+
+def q_ngram_jaccard(spark, sf):
+    """Exact n-gram Jaccard near-dup pairs — shingle explode + equi-join
+    (no O(n²) caption scan; the join key IS the shingle)."""
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    words = F.split(F.col("text"), " ")
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(words) - 3, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, 3)),
+        )
+    )
+    ex = d.select("doc_id", F.explode(sh).alias("shingle"))
+    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = ex.select(F.col("doc_id").alias("a_id"), "shingle")
+    b = ex.select(F.col("doc_id").alias("b_id"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    out = (
+        inter.join(sizes.select(F.col("doc_id").alias("a_id"), F.col("n_sh").alias("a_sh")), "a_id")
+        .join(sizes.select(F.col("doc_id").alias("b_id"), F.col("n_sh").alias("b_sh")), "b_id")
+        .withColumn("jac", F.round(F.col("n_inter") / (F.col("a_sh") + F.col("b_sh") - F.col("n_inter")), 4))
+        .filter(F.col("jac") >= 0.2)
+        .select("a_id", "b_id", "jac")
+    )
+    return out
+
+SQL_NGRAM_JACCARD = """
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct([array_to_string(words[i:i+2], ' ')
+         FOR i IN range(1, greatest(len(words) - 2, 1) + 1)])) AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1
+), inter AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT a_id, b_id,
+       round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) AS jac
+FROM inter JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
+WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.2
+"""
+
+
+def q_embedding_cosine_topk(spark, sf):
+    """Brute-force cosine top-k ANN baseline over array<float> embeddings,
+    entirely JVM-side (zip_with + aggregate — no UDF)."""
+    e = _t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    c = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"))
+    dbl = lambda col: F.transform(col, lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(dbl(F.col("q_emb")), dbl(F.col("c_emb")), lambda x, y: x * y),
+        F.lit(0.0), lambda acc, v: acc + v,
+    )
+    norm = lambda col: F.sqrt(F.aggregate(dbl(col), F.lit(0.0), lambda acc, v: acc + v * v))
+    pairs = (
+        q.crossJoin(c)
+        .filter(F.col("q_id") != F.col("c_id"))
+        .withColumn("cos", F.round(dot / (norm(F.col("q_emb")) * norm(F.col("c_emb"))), 6))
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cos"), "c_id")
+    return (
+        pairs.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 5)
+        .select("q_id", "rk", "c_id", "cos")
+    )
+
+SQL_EMBEDDING_COSINE_TOPK = """
+WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_emb FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS c_emb FROM embeddings),
+pairs AS (
+  SELECT q_id, c_id,
+         round(list_dot_product(q_emb, c_emb)
+               / (sqrt(list_dot_product(q_emb, q_emb)) * sqrt(list_dot_product(c_emb, c_emb))), 6) AS cos
+  FROM q CROSS JOIN c WHERE q_id != c_id
+)
+SELECT q_id, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rk, c_id, cos
+FROM pairs QUALIFY rk <= 5
+"""
