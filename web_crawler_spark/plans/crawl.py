@@ -35,6 +35,7 @@ from __future__ import annotations
 import json
 import math
 import os
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F, types as T
@@ -52,6 +53,25 @@ from web_crawler_spark.functions.udfs import (
 from web_crawler_spark.sources.catalog import ManifestCatalog
 
 SURVIVOR_COLS = ["fetch_seq", "image_id", "w", "h", "phash", "caption", "content_sha", "bands"]
+
+_PROF = os.environ.get("WCS_PROF") == "1"
+
+
+class _T:
+    """Env-gated action timer (WCS_PROF=1): prints per-action wall time."""
+
+    def __init__(self, label: str):
+        self.label = label
+
+    def __enter__(self):
+        import time
+        self.t0 = time.perf_counter()
+        return self
+
+    def __exit__(self, *a):
+        import time
+        if _PROF:
+            print(f"      [prof] {self.label}: {time.perf_counter() - self.t0:.2f}s", flush=True)
 
 
 def _bucket(host_col, url_col, cfg: CrawlConfig):
@@ -123,15 +143,25 @@ class CrawlEngine:
         )
         seen = s.select("canon_url", F.xxhash64("canon_url").alias("url_hash"))
         n_seq = frontier.count()
-        self.cat.stage("frontier", frontier.repartition(8, "bucket"))
-        self.cat.stage("host_next", spark.createDataFrame([], schemas.HOST_NEXT))
-        self.cat.append("seen", seen, partitions=1)
-        self.cat.append("survivors", spark.createDataFrame(
+        empty_surv = spark.createDataFrame(
             [], "fetch_seq long, image_id string, w int, h int, phash long,"
-                "caption string, content_sha string, bands array<bigint>"), partitions=1)
-        self.cat.append("crawl_log", spark.createDataFrame([], schemas.CRAWL_LOG), partitions=1)
-        self.cat.append("images_kept", spark.createDataFrame([], schemas.IMAGES_KEPT), partitions=1)
-        self.cat.append("metrics", spark.createDataFrame([], schemas.METRICS), partitions=1)
+                "caption string, content_sha string, bands array<bigint>")
+        with ThreadPoolExecutor(max_workers=7) as ex:
+            futs = [
+                ex.submit(self.cat.stage, "frontier", frontier.repartition(8, "bucket")),
+                ex.submit(self.cat.stage, "host_next",
+                          spark.createDataFrame([], schemas.HOST_NEXT)),
+                ex.submit(self.cat.append, "seen", seen, 1),
+                ex.submit(self.cat.append, "survivors", empty_surv, 1),
+                ex.submit(self.cat.append, "crawl_log",
+                          spark.createDataFrame([], schemas.CRAWL_LOG), 1),
+                ex.submit(self.cat.append, "images_kept",
+                          spark.createDataFrame([], schemas.IMAGES_KEPT), 1),
+                ex.submit(self.cat.append, "metrics",
+                          spark.createDataFrame([], schemas.METRICS), 1),
+            ]
+            for f in futs:
+                f.result()
         self.cat.commit(-1, {"next_seq": n_seq, "next_fetch_seq": 0, "budget_spent": 0})
 
     # ----------------------------------------------------------------- round
@@ -170,10 +200,11 @@ class CrawlEngine:
             .drop("bytes")  # bytes re-joined only for candidate PAIRS (scale: §4.4)
             .persist()
         )
-        n_fetched = fetched.count()
+        with _T("fetch.count"):
+            n_fetched = fetched.count()
         if n_fetched == 0:
             fetched.unpersist()
-            n_frontier = frontier.count()
+            n_frontier = cat.staged_rowcount("frontier")
             return {"fetched": 0, "frontier": n_frontier, "stopped": n_frontier == 0}
 
         # -- exact dedup: first-writer-wins per content hash, global order
@@ -273,6 +304,8 @@ class CrawlEngine:
             )
             .persist()
         )
+        with _T("statused.count"):
+            statused.count()
         log_add = statused.select(
             "fetch_seq", F.lit(r).alias("round"), "canon_url", "host", "image_id",
             "priority", "discovered_seq", "status",
@@ -308,7 +341,8 @@ class CrawlEngine:
         disc = links.join(url_map, links.t_image_id == url_map.image_id, "inner").select(
             "fetch_seq", "link_pos", "priority", "canon_url", "host", "path"
         ).persist()
-        n_links = disc.count()
+        with _T("disc.count"):
+            n_links = disc.count()
 
         wdisc = Window.partitionBy("canon_url").orderBy("fetch_seq", "link_pos")
         first = disc.withColumn("rn", F.row_number().over(wdisc)).filter("rn = 1").drop("rn")
@@ -321,7 +355,10 @@ class CrawlEngine:
                           lambda p: F.col("path").startswith(p)),
             ).persist()
         )
-        n_new = new.count()
+        # one action for both counts (saves a full job per round)
+        with _T("new.agg"):
+            _c = new.agg(F.count("*").alias("n"), F.count_if("allowed").alias("a")).first()
+        n_new, n_allowed = int(_c["n"]), int(_c["a"])
         allowed_new = new.filter("allowed")
         wnewseq = Window.orderBy("fetch_seq", "link_pos")
         frontier_add = allowed_new.select(
@@ -333,47 +370,53 @@ class CrawlEngine:
             (F.row_number().over(wnewseq) - 1 + F.lit(ctr["next_seq"])).cast("long").alias("discovered_seq"),
             F.lit(r + 1).alias("ready_round"),
         )
-        n_allowed = allowed_new.count()
         seen_add = new.select("canon_url", F.xxhash64("canon_url").alias("url_hash"))
         frontier2 = (
             frontier.join(batch.select("discovered_seq"), "discovered_seq", "left_anti")
             .unionByName(frontier_add)
         )
 
-        # -- metrics with per-partition (bucket) lineage
-        status_counts = (
-            statused.groupBy("bucket").pivot(
-                "status", ["kept", "dup_exact", "neardup_image", "neardup_caption"]
-            ).count().na.fill(0)
+        # -- metrics with per-partition (bucket) lineage. The distributed
+        # agg runs over the CACHED statused rows (one count_if pass, no
+        # pivot); the per-bucket result is tiny (≤ n_buckets rows) so it
+        # is collected and appended as a literal frame — two fewer deep
+        # write-jobs per superstep.
+        _is = lambda s: F.count_if(F.col("status") == s)
+        bucket_rows = (
+            statused.groupBy("bucket")
+            .agg(F.count("*").alias("fetched"), _is("kept").alias("kept"),
+                 _is("dup_exact").alias("dup_exact"),
+                 _is("neardup_image").alias("neardup_image"),
+                 _is("neardup_caption").alias("neardup_caption"))
+            .collect()
         )
-        metrics_add = status_counts.select(
-            F.lit(r).alias("round"),
-            F.col("bucket").alias("partition_id"),
-            (F.col("kept") + F.col("dup_exact") + F.col("neardup_image") + F.col("neardup_caption"))
-            .cast("long").alias("fetched"),
-            F.col("kept").cast("long").alias("kept"),
-            F.col("dup_exact").cast("long").alias("dup_exact"),
-            F.col("neardup_image").cast("long").alias("neardup_image"),
-            F.col("neardup_caption").cast("long").alias("neardup_caption"),
-            F.lit(0).cast("long").alias("rejected_robots"),
-            F.lit(0).cast("long").alias("rejected_seen"),
-        ).unionByName(
-            self.spark.createDataFrame(
-                [(r, -1, 0, 0, 0, 0, 0, int(n_new - n_allowed), int(n_links - n_new))],
-                schemas.METRICS,
-            )
+        metrics_add = self.spark.createDataFrame(
+            [(r, int(b["bucket"]), int(b["fetched"]), int(b["kept"]),
+              int(b["dup_exact"]), int(b["neardup_image"]),
+              int(b["neardup_caption"]), 0, 0) for b in bucket_rows]
+            + [(r, -1, 0, 0, 0, 0, 0, int(n_new - n_allowed), int(n_links - n_new))],
+            schemas.METRICS,
         )
 
         # -- snapshot commit (atomic; resume point). State deltas go through
         # append-only tables (Iceberg append semantics — no rewrite
         # amplification); only frontier + host clocks are rewritten.
-        cat.stage("frontier", frontier2.repartition(8, "bucket"))
-        cat.stage("host_next", host_next2)
-        cat.append("seen", seen_add, partitions=1)
-        cat.append("survivors", batch_surv.select(*SURVIVOR_COLS), partitions=1)
-        cat.append("crawl_log", log_add, partitions=1)
-        cat.append("images_kept", kept_add, partitions=1)
-        cat.append("metrics", metrics_add, partitions=1)
+        # All seven tables derive from cached frames — submit the write
+        # jobs concurrently (Spark schedules them across the cluster; the
+        # wall cost is max(job) not sum(job)). Visibility still flips
+        # atomically at commit().
+        with _T("writes.parallel"), ThreadPoolExecutor(max_workers=7) as ex:
+            futs = [
+                ex.submit(cat.stage, "frontier", frontier2.repartition(8, "bucket")),
+                ex.submit(cat.stage, "host_next", host_next2),
+                ex.submit(cat.append, "seen", seen_add, 1),
+                ex.submit(cat.append, "survivors", batch_surv.select(*SURVIVOR_COLS), 1),
+                ex.submit(cat.append, "crawl_log", log_add, 1),
+                ex.submit(cat.append, "images_kept", kept_add, 1),
+                ex.submit(cat.append, "metrics", metrics_add, 1),
+            ]
+            for f in futs:
+                f.result()
         cat.commit(r, {
             "next_seq": int(ctr["next_seq"] + n_allowed),
             "next_fetch_seq": int(ctr["next_fetch_seq"] + n_fetched),
@@ -381,7 +424,8 @@ class CrawlEngine:
         })
         for df in (fetched, batch_surv, statused, disc, new):
             df.unpersist()
-        n_frontier = cat.read("frontier").count()
+        # footer-only count of the just-written frontier — no Spark job
+        n_frontier = cat.staged_rowcount("frontier")
         return {"fetched": n_fetched, "frontier": n_frontier, "stopped": n_frontier == 0}
 
     # ------------------------------------------------------------------- run

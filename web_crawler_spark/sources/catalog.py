@@ -22,6 +22,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -32,6 +33,11 @@ class ManifestCatalog:
         self.run_dir = run_dir
         self.tables_dir = os.path.join(run_dir, "tables")
         os.makedirs(self.tables_dir, exist_ok=True)
+        # stage()/append() are safe to call from concurrent driver threads
+        # (the engine overlaps its independent per-round write jobs):
+        # version allocation is locked; the parquet write itself runs
+        # unlocked — paths are unique per (name, version).
+        self._lock = threading.Lock()
         self.manifest: dict = {"round": -1, "versions": {}, "appends": {}, "counters": {}}
         mpath = os.path.join(run_dir, "manifest.json")
         if os.path.exists(mpath):
@@ -54,6 +60,19 @@ class ManifestCatalog:
     def counters(self) -> dict:
         return dict(self.manifest["counters"])
 
+    def staged_rowcount(self, name: str) -> int:
+        """Row count of the most recently staged/committed version of
+        ``name`` from parquet footers only — no Spark job. The Iceberg
+        equivalent is reading the snapshot's manifest row counts."""
+        import pyarrow.parquet as pq
+
+        v = getattr(self, "_staged", {}).get(name, self.manifest["versions"].get(name))
+        path = os.path.join(self.tables_dir, name, f"v{v}")
+        return sum(
+            pq.read_metadata(os.path.join(path, f)).num_rows
+            for f in os.listdir(path) if f.endswith(".parquet")
+        )
+
     @property
     def round(self) -> int:
         return int(self.manifest["round"])
@@ -61,25 +80,27 @@ class ManifestCatalog:
     # -- writes -----------------------------------------------------------
     def stage(self, name: str, df: DataFrame, partitions: int | None = None) -> int:
         """Write a new version of ``name``; becomes visible only at commit."""
-        v = int(self.manifest["versions"].get(name, -1)) + 1
+        with self._lock:
+            self._staged = getattr(self, "_staged", {})
+            v = int(self._staged.get(name, self.manifest["versions"].get(name, -1))) + 1
+            self._staged[name] = v
         path = os.path.join(self.tables_dir, name, f"v{v}")
         w = df.coalesce(partitions) if partitions else df
         w.write.mode("overwrite").parquet(path)
-        self._staged = getattr(self, "_staged", {})
-        self._staged[name] = v
         return v
 
     def append(self, name: str, df: DataFrame, partitions: int | None = None) -> int:
         """Append-only table: write ONLY the delta as a new part (Iceberg
         append semantics — no rewrite amplification for logs/metrics/seen)."""
-        prior = self.manifest["appends"].get(name, [])
-        staged = getattr(self, "_staged_appends", {})
-        v = (max(prior + staged.get(name, [])) + 1) if (prior or staged.get(name)) else 0
+        with self._lock:
+            self._staged_appends = getattr(self, "_staged_appends", {})
+            staged = self._staged_appends
+            prior = self.manifest["appends"].get(name, [])
+            v = (max(prior + staged.get(name, [])) + 1) if (prior or staged.get(name)) else 0
+            staged.setdefault(name, []).append(v)
         path = os.path.join(self.tables_dir, name, f"v{v}")
         w = df.coalesce(partitions) if partitions else df
         w.write.mode("overwrite").parquet(path)
-        self._staged_appends = staged
-        staged.setdefault(name, []).append(v)
         return v
 
     def commit(self, round_no: int, counters: dict) -> None:
