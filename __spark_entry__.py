@@ -71,6 +71,7 @@ _SQL_CHECKED = {
     "text_quality": (Q.q_text_quality, Q.SQL_TEXT_QUALITY),
     "ngram_jaccard": (Q.q_ngram_jaccard, Q.SQL_NGRAM_JACCARD),
     "embedding_cosine_topk": (Q.q_embedding_cosine_topk, Q.SQL_EMBEDDING_COSINE_TOPK),
+    "dedup_embedding_cosine": (Q.q_dedup_embedding_cosine, Q.SQL_DEDUP_EMBEDDING_COSINE),
 }
 
 _ROWS_ONLY = {
@@ -79,9 +80,11 @@ _ROWS_ONLY = {
     "dedup_minhash_lsh": P.q_dedup_minhash_lsh,
     "dedup_simhash": P.q_dedup_simhash,
     "ann_lsh": P.q_ann_lsh,
+    "ann_ivf": P.q_ann_ivf,
     "lang_id": P.q_lang_id,
     "bloom_prefilter": P.q_bloom_prefilter,
     "image_pipeline": P.q_image_pipeline,
+    "multimodal_av": P.q_multimodal_av,
     "crawl_superstep": P.q_crawl_superstep,
 }
 

@@ -17,6 +17,7 @@ SAMPLE = [
     "pricing_summary", "fetch_join", "asof_join", "topk_per_group",
     "session_window", "metrics_rollup", "bitmap_distinct", "pivot",
     "ngram_jaccard", "embedding_cosine_topk", "lag_gap", "dedup_exact",
+    "dedup_embedding_cosine",
 ]
 
 
@@ -42,7 +43,29 @@ def test_entry_smoke(spark):
 
 
 def test_rows_only_queries_run(spark):
-    for name in ["dedup_minhash_lsh", "dedup_simhash", "ann_lsh", "lang_id",
-                 "bloom_prefilter", "image_pipeline"]:
+    for name in ["dedup_minhash_lsh", "dedup_simhash", "ann_lsh", "ann_ivf",
+                 "lang_id", "bloom_prefilter", "image_pipeline", "multimodal_av"]:
         df = E.queries()[name](spark, SF)
         assert df.count() >= 0, name
+
+
+def test_ann_ivf_recall_vs_brute_force(spark):
+    """IVF with nprobe=2 of 8 cells must recover most true top-3
+    neighbors (recall is the operator's quality contract)."""
+    from pyspark.sql import functions as F
+
+    ivf = E.queries()["ann_ivf"](spark, SF).select("q_id", "c_id")
+    brute = (
+        E.queries()["embedding_cosine_topk"](spark, SF)
+        .filter(F.col("rk") <= 3).select("q_id", "c_id")
+    )
+    inter = brute.intersect(ivf).count()
+    assert inter / brute.count() >= 0.5
+
+
+def test_multimodal_av_deterministic(spark):
+    a = E.queries()["multimodal_av"](spark, SF).orderBy("media_id").collect()
+    b = E.queries()["multimodal_av"](spark, SF).orderBy("media_id").collect()
+    assert a == b
+    kinds = {r.kind for r in a}
+    assert kinds == {"audio", "video"} and all(r.sampled_frames <= 8 for r in a)

@@ -236,3 +236,129 @@ def q_crawl_superstep(spark, sf):
     return eng.cat.read("crawl_log").select(
         "fetch_seq", "round", "canon_url", "host", "image_id", "priority", "status"
     )
+
+
+# ------------------------------------------------------------------ IVF ANN
+
+def q_ann_ivf(spark, sf):
+    """IVF (inverted-file) approximate nearest neighbors — the classic
+    scale path next to q_ann_lsh: 8 seeded coarse centroids (one Lloyd
+    refinement, computed distributed), every vector assigned to its
+    nearest centroid (vectorized numpy matmul per Arrow batch), queries
+    probe their nprobe=4 nearest cells, exact cosine re-ranks within the
+    probed cells only. The candidate join shuffles (cell, id) keys —
+    never the full pair matrix."""
+    e = _emb(spark, sf).select("vec_id", "embedding")
+    dim = len(e.select("embedding").first()[0])
+    seeds = np.random.default_rng(20260817).standard_normal((8, dim))
+    seeds /= np.linalg.norm(seeds, axis=1, keepdims=True)
+
+    def assign_factory(cents):
+        @F.pandas_udf(T.IntegerType())
+        def assign(embs: pd.Series) -> pd.Series:
+            m = np.stack([np.asarray(v, dtype=np.float64) for v in embs])
+            m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            return pd.Series(np.argmax(m @ cents.T, axis=1).astype(np.int32))
+        return assign
+
+    # one distributed Lloyd step: mean of assigned vectors per cell
+    a0 = e.withColumn("cell", assign_factory(seeds)("embedding"))
+    sums = (
+        a0.select("cell", F.posexplode("embedding").alias("d", "x"))
+        .groupBy("cell", "d").agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+        .collect()
+    )
+    cents = seeds.copy()
+    acc = {}
+    for r in sums:
+        acc.setdefault(r["cell"], np.zeros(dim))[r["d"]] = r["s"] / r["n"]
+    for cell, v in acc.items():
+        nv = np.linalg.norm(v)
+        if nv > 1e-12:
+            cents[cell] = v / nv
+
+    assigned = e.withColumn("cell", assign_factory(cents)("embedding"))
+
+    def probe_factory(cents, nprobe=4):
+        @F.pandas_udf(T.ArrayType(T.IntegerType()))
+        def probe(embs: pd.Series) -> pd.Series:
+            m = np.stack([np.asarray(v, dtype=np.float64) for v in embs])
+            m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            order = np.argsort(-(m @ cents.T), axis=1)[:, :nprobe].astype(np.int32)
+            return pd.Series(list(order))
+        return probe
+
+    queries = (
+        e.filter(F.col("vec_id") < 8)
+        .withColumn("cells", probe_factory(cents)("embedding"))
+        .select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"),
+                F.explode("cells").alias("cell"))
+    )
+    cands = assigned.select(F.col("vec_id").alias("c_id"),
+                            F.col("embedding").alias("c_emb"), "cell")
+    dbl = lambda col: F.transform(col, lambda x: x.cast("double"))
+    dot = F.aggregate(F.zip_with(dbl(F.col("q_emb")), dbl(F.col("c_emb")), lambda x, y: x * y),
+                      F.lit(0.0), lambda acc_, v: acc_ + v)
+    norm = lambda col: F.sqrt(F.aggregate(dbl(col), F.lit(0.0), lambda acc_, v: acc_ + v * v))
+    pairs = (
+        queries.join(cands, "cell")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .withColumn("cos", F.round(dot / (norm(F.col("q_emb")) * norm(F.col("c_emb"))), 6))
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cos"), "c_id")
+    return (
+        pairs.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 3)
+        .select("q_id", "rk", "c_id", "cos", "cell").distinct()
+    )
+
+
+# ------------------------------------------------- multimodal audio/video
+
+def q_multimodal_av(spark, sf):
+    """Audio/video plumbing over opaque binary columns with typed
+    metadata: synthesize a deterministic A/V corpus (media_id, bytes,
+    codec, sample_rate/fps, n_frames), then run decode -> frame-sample
+    -> per-frame feature extract in ONE mapInPandas pass (bytes never
+    leave the Arrow batch). Real codecs (ffmpeg/PIL) are absent in this
+    container, so decode for codecs other than the in-repo 'rawpcm8'/
+    'rawgray8' raises NotImplementedError — the Spark-side schema,
+    partitioning, batching and UDF signatures are the real, tested
+    plumbing a production decoder drops into."""
+
+    def gen_decode_sample(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"media_id": [], "kind": [], "codec": [], "n_frames": [],
+                   "sampled_frames": [], "mean_level": [], "meta_ok": []}
+            for rid in pdf["id"].to_numpy():
+                rng = np.random.default_rng(3000 + int(rid))
+                kind = "audio" if rid % 2 == 0 else "video"
+                if kind == "audio":
+                    codec, n_frames = "rawpcm8", int(rng.integers(400, 1600))
+                    blob = rng.integers(0, 256, size=n_frames, dtype=np.uint8).tobytes()
+                else:
+                    codec, n_frames = "rawgray8", int(rng.integers(8, 48))
+                    blob = rng.integers(0, 256, size=(n_frames, 16, 16), dtype=np.uint8).tobytes()
+                # ---- decode step (deterministic fake for in-repo codecs)
+                if codec == "rawpcm8":
+                    decoded = np.frombuffer(blob, dtype=np.uint8).astype(np.float64)
+                    frames = decoded.reshape(-1, 1)
+                elif codec == "rawgray8":
+                    frames = np.frombuffer(blob, dtype=np.uint8).reshape(n_frames, -1).astype(np.float64)
+                else:  # real decoder slot — libs absent in this container
+                    raise NotImplementedError(f"codec {codec}: plug ffmpeg/PIL here")
+                step = max(len(frames) // 8, 1)      # sample every k-th frame
+                sampled = frames[::step][:8]
+                out["media_id"].append(f"m-{int(rid):06d}")
+                out["kind"].append(kind)
+                out["codec"].append(codec)
+                out["n_frames"].append(len(frames))
+                out["sampled_frames"].append(len(sampled))
+                out["mean_level"].append(round(float(sampled.mean()), 3))
+                out["meta_ok"].append(len(frames) == n_frames or kind == "audio")
+            yield pd.DataFrame(out)
+
+    return spark.range(0, 256, 1, 8).mapInPandas(
+        gen_decode_sample,
+        "media_id string, kind string, codec string, n_frames int, "
+        "sampled_frames int, mean_level double, meta_ok boolean",
+    )

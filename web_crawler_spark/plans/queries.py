@@ -736,3 +736,36 @@ pairs AS (
 SELECT q_id, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rk, c_id, cos
 FROM pairs QUALIFY rk <= 5
 """
+
+
+def q_dedup_embedding_cosine(spark, sf):
+    """Embedding-cosine near-dup pairs (cos >= 0.98, a_id < b_id) —
+    all-JVM zip_with/aggregate dot products. This brute-force form is the
+    DuckDB-checkable oracle; the scale path is the LSH-bucketed variant
+    (pipeline_ops.q_ann_lsh / q_ann_ivf), which shuffles only bucket
+    keys instead of the full pair matrix."""
+    e = _t(spark, sf, "embeddings")
+    dbl = lambda col: F.transform(col, lambda x: x.cast("double"))
+    a = e.select(F.col("vec_id").alias("a_id"), dbl("embedding").alias("a_emb"))
+    b = e.select(F.col("vec_id").alias("b_id"), dbl("embedding").alias("b_emb"))
+    dot = F.aggregate(F.zip_with(F.col("a_emb"), F.col("b_emb"), lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    norm = lambda c: F.sqrt(F.aggregate(F.col(c), F.lit(0.0), lambda acc, v: acc + v * v))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("cos", F.round(dot / (norm("a_emb") * norm("b_emb")), 4))
+        .filter(F.col("cos") >= 0.98)
+        .select("a_id", "b_id", "cos")
+    )
+
+SQL_DEDUP_EMBEDDING_COSINE = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       round(list_dot_product(a.emb, b.emb)
+             / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 4) AS cos
+FROM e a CROSS JOIN e b
+WHERE a.vec_id < b.vec_id
+  AND round(list_dot_product(a.emb, b.emb)
+            / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 4) >= 0.98
+"""
