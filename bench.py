@@ -114,10 +114,12 @@ def run_headline() -> None:
 
 # ------------------------------------------------------- crawl throughput
 
-def crawl_throughput(spark, n: int = 1500, n_hosts: int = 40) -> dict:
-    """Full BSP crawl loop to frontier exhaustion on a deterministic
-    fixture; reports the BASELINE.json metric pair: frontier URLs/sec
-    (rows scheduled through eligibility each round) + fetched-rows/sec."""
+def crawl_throughput(spark, n: int = 5000, n_hosts: int = 60) -> dict:
+    """Full BSP crawl loop on a deterministic fixture; reports the
+    BASELINE.json metric pair: frontier URLs/sec (rows scheduled through
+    eligibility each round) + fetched-rows/sec. per_host_k=32 sizes the
+    per-round batch the way a production budget would (the BSP round has
+    a fixed ~10s driver+commit cost; amortize it over real batches)."""
     from fixtures.gen import generate
     from web_crawler_spark.config import CrawlConfig
     from web_crawler_spark.plans.crawl import CrawlEngine
@@ -127,7 +129,7 @@ def crawl_throughput(spark, n: int = 1500, n_hosts: int = 40) -> dict:
         generate(fix, n=n, n_hosts=n_hosts)
     run_dir = f"/tmp/wcs_bench_run_n{n}_c{CPUS}"
     shutil.rmtree(run_dir, ignore_errors=True)
-    cfg = CrawlConfig(per_host_k=8, max_rounds=12)
+    cfg = CrawlConfig(per_host_k=32, max_rounds=10)
     eng = CrawlEngine(spark, fix, run_dir, cfg)
     t0 = time.perf_counter()
     eng.init_state()

@@ -18,3 +18,9 @@ class CrawlConfig:
     n_salts: int = 256           # salt fan-out per host against hot-domain skew;
                                  # ~4× n_buckets keeps max/mean bucket load ≤ 2 on
                                  # Zipf(1.1) hosts (tests/test_skew.py property)
+    bloom_prefilter: bool = False  # broadcast Bloom routes provably-new URLs
+                                   # around the exact seen anti-join (north_star
+                                   # sketch; results identical on/off —
+                                   # tests/test_bloom_crawl.py). Costs ~2 extra
+                                   # jobs/round, so off at toy scale, on at 10^10
+    bloom_bits: int = 1 << 20    # sketch size; ~10 bits/URL keeps FPR < 1%

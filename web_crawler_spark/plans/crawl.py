@@ -42,6 +42,7 @@ from pyspark.sql import functions as F, types as T
 
 from web_crawler_spark import schemas
 from web_crawler_spark.config import CrawlConfig
+from web_crawler_spark.core import bloom
 from web_crawler_spark.functions.udfs import (
     canon_udf,
     caption_bands_udf,
@@ -94,6 +95,17 @@ class CrawlEngine:
             [(h, v["disallow"], float(v["crawl_delay"])) for h, v in robots.items()],
             schema=schemas.ROBOTS,
         )
+        self._bloom = None  # broadcast seen-set sketch (cfg.bloom_prefilter)
+
+    def _seen_bloom(self):
+        """Broadcastable Bloom over the seen table: built distributed
+        (per-partition mergeable sketches, OR-merged), then maintained
+        incrementally with per-round deltas. Prefilter ONLY — a miss is
+        provably-new, a hit still goes through the exact anti-join."""
+        if self._bloom is None:
+            self._bloom = bloom.build_sketch(
+                self.cat.read("seen").select("url_hash"), self.cfg.bloom_bits)
+        return self._bloom
 
     # ------------------------------------------------------------------ init
     def _url_map(self) -> DataFrame:
@@ -346,7 +358,20 @@ class CrawlEngine:
 
         wdisc = Window.partitionBy("canon_url").orderBy("fetch_seq", "link_pos")
         first = disc.withColumn("rn", F.row_number().over(wdisc)).filter("rn = 1").drop("rn")
-        new = first.join(cat.read("seen"), "canon_url", "left_anti")
+        if cfg.bloom_prefilter:
+            # Bloom-routed seen check (§4.3): sketch misses are provably
+            # new and SKIP the anti-join entirely; only suspected-seen
+            # rows (~|seen∩cand| + FPR·|cand|) pay the shuffle. The two
+            # branches are disjoint, so exactness is preserved.
+            maybe = bloom.contains_udf(spark, self._seen_bloom(), cfg.bloom_bits)
+            fh = first.withColumn("_uh", F.xxhash64("canon_url")) \
+                      .withColumn("_maybe", maybe("_uh"))
+            suspects = (fh.filter("_maybe")
+                        .join(cat.read("seen"), "canon_url", "left_anti"))
+            new = fh.filter(~F.col("_maybe")).unionByName(suspects) \
+                    .drop("_uh", "_maybe")
+        else:
+            new = first.join(cat.read("seen"), "canon_url", "left_anti")
         new = (
             new.join(F.broadcast(self.robots.select("host", "disallow")), "host", "left")
             .withColumn(
@@ -422,6 +447,11 @@ class CrawlEngine:
             "next_fetch_seq": int(ctr["next_fetch_seq"] + n_fetched),
             "budget_spent": int(ctr["budget_spent"] + n_fetched),
         })
+        if cfg.bloom_prefilter and self._bloom is not None and n_new > 0:
+            # fold this round's delta into the sketch (distributed build,
+            # driver OR-merge — the incremental path at 10^10 scale)
+            self._bloom = bloom.merge(
+                self._bloom, bloom.build_sketch(seen_add, cfg.bloom_bits))
         for df in (fetched, batch_surv, statused, disc, new):
             df.unpersist()
         # footer-only count of the just-written frontier — no Spark job
