@@ -174,6 +174,19 @@ def generate(out_dir: str, n: int = 5000, n_hosts: int = 60, seed: int = 42) -> 
     with open(os.path.join(out_dir, "robots.json"), "w") as f:
         json.dump(robots, f, indent=0, sort_keys=True)
 
+    # same rules as real robots.txt bodies (<host>.txt): the engine
+    # parses THESE (sources/robots.py); the oracle reads the json — the
+    # oracle-equivalence tests therefore also prove the parser
+    txt_dir = os.path.join(out_dir, "robots_txt")
+    os.makedirs(txt_dir, exist_ok=True)
+    for host, rule in robots.items():
+        lines = ["# synthetic robots.txt", "User-agent: *"]
+        lines += [f"Disallow: {p}" for p in rule["disallow"]] or ["Disallow:"]
+        if rule["crawl_delay"]:
+            lines.append(f"Crawl-delay: {rule['crawl_delay']:g}")
+        with open(os.path.join(txt_dir, f"{host}.txt"), "w") as f:
+            f.write("\n".join(lines) + "\n")
+
     return {"n": n, "n_hosts": n_hosts, "seeds": len(seeds), "out_dir": out_dir,
             "links_total": sum(len(out_links(i, n)) for i in range(n))}
 

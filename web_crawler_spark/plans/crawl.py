@@ -37,7 +37,7 @@ import math
 import os
 from concurrent.futures import ThreadPoolExecutor
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F, types as T
 
 from web_crawler_spark import schemas
@@ -51,6 +51,7 @@ from web_crawler_spark.functions.udfs import (
     pair_psnr_cols,
     path_udf,
 )
+from web_crawler_spark.sources import robots as robots_src
 from web_crawler_spark.sources.catalog import ManifestCatalog
 
 SURVIVOR_COLS = ["fetch_seq", "image_id", "w", "h", "phash", "caption", "content_sha", "bands"]
@@ -89,12 +90,21 @@ class CrawlEngine:
         self.cat = ManifestCatalog(spark, run_dir)
         self.corpus = spark.read.parquet(os.path.join(fix_dir, "corpus.parquet"))
         self.n_corpus = self.corpus.count()
-        with open(os.path.join(fix_dir, "robots.json")) as f:
-            robots = json.load(f)
-        self.robots = spark.createDataFrame(
-            [(h, v["disallow"], float(v["crawl_delay"])) for h, v in robots.items()],
-            schema=schemas.ROBOTS,
-        )
+        txt_dir = os.path.join(fix_dir, "robots_txt")
+        if os.path.isdir(txt_dir):
+            # parse real robots.txt bodies (sources/robots.py) — the
+            # fidelity path; robots.json is the oracle's view of the
+            # same rules, so oracle-equivalence also proves the parser.
+            # persist: this dimension is broadcast-joined several times
+            # per round and must not re-list/re-parse files each job
+            self.robots = robots_src.load_robots_txt_dir(spark, txt_dir).persist()
+        else:
+            with open(os.path.join(fix_dir, "robots.json")) as f:
+                robots = json.load(f)
+            self.robots = spark.createDataFrame(
+                [(h, v["disallow"], float(v["crawl_delay"])) for h, v in robots.items()],
+                schema=schemas.ROBOTS,
+            )
         self._bloom = None  # broadcast seen-set sketch (cfg.bloom_prefilter)
 
     def _seen_bloom(self):
@@ -316,8 +326,9 @@ class CrawlEngine:
             )
             .persist()
         )
-        with _T("statused.count"):
-            statused.count()
+        # no explicit materialization: the new.agg action below scans
+        # disc ← links ← statused, populating the persisted statused en
+        # route (one deep job instead of two)
         log_add = statused.select(
             "fetch_seq", F.lit(r).alias("round"), "canon_url", "host", "image_id",
             "priority", "discovered_seq", "status",
@@ -350,11 +361,10 @@ class CrawlEngine:
             statused.select("fetch_seq", "priority", F.posexplode(targets).alias("link_pos", "target"))
             .withColumn("t_image_id", F.concat(F.lit("img-"), F.lpad(F.col("target").cast("string"), 8, "0")))
         )
+        disc_obs = Observation(f"disc_r{r}")
         disc = links.join(url_map, links.t_image_id == url_map.image_id, "inner").select(
             "fetch_seq", "link_pos", "priority", "canon_url", "host", "path"
-        ).persist()
-        with _T("disc.count"):
-            n_links = disc.count()
+        ).observe(disc_obs, F.count(F.lit(1)).alias("n")).persist()
 
         wdisc = Window.partitionBy("canon_url").orderBy("fetch_seq", "link_pos")
         first = disc.withColumn("rn", F.row_number().over(wdisc)).filter("rn = 1").drop("rn")
@@ -380,10 +390,13 @@ class CrawlEngine:
                           lambda p: F.col("path").startswith(p)),
             ).persist()
         )
-        # one action for both counts (saves a full job per round)
+        # one action for three counts: the agg job's scan of `new` also
+        # materializes the `disc` cache, firing the Observation (no
+        # separate disc.count job per round)
         with _T("new.agg"):
             _c = new.agg(F.count("*").alias("n"), F.count_if("allowed").alias("a")).first()
         n_new, n_allowed = int(_c["n"]), int(_c["a"])
+        n_links = int(disc_obs.get["n"])
         allowed_new = new.filter("allowed")
         wnewseq = Window.orderBy("fetch_seq", "link_pos")
         frontier_add = allowed_new.select(
