@@ -1,0 +1,142 @@
+"""Cuckoo filter over int64 url_hashes — the deletable alternative to
+core/bloom.py (north_star: "partitioned Bloom/cuckoo URL-seen filter").
+
+Same prefilter contract as the Bloom sketch (SURVEY.md §4.3): "absent"
+is definitive for every inserted key, "present" is a routing hint that
+still goes through the exact anti-join. What cuckoo adds over Bloom is
+DELETION — at 10^10 scale the seen filter can evict retired URL cohorts
+(e.g. recrawl windows) without a full rebuild, which a Bloom bitarray
+cannot do.
+
+Layout: B buckets × 4 slots of 16-bit fingerprints (uint16 ndarray;
+per-partition tables MERGE by re-inserting fingerprints, and the table
+serializes as bytes for broadcast exactly like the Bloom sketch).
+Vectorized lookup via numpy; partial-key cuckoo hashing with
+alt-bucket = bucket XOR hash(fingerprint), so the bucket pair is
+recoverable from (bucket, fingerprint) alone — the property both
+deletion and merge rely on.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+_MULT = np.uint64(0x9E3779B97F4A7C15)
+SLOTS = 4
+MAX_KICKS = 250
+
+
+def _fingerprint(h: np.ndarray) -> np.ndarray:
+    fp = ((h * _MULT) >> np.uint64(48)).astype(np.uint16)
+    fp[fp == 0] = 1  # 0 marks an empty slot
+    return fp
+
+
+def _bucket1(h: np.ndarray, n_buckets: int) -> np.ndarray:
+    return (h % np.uint64(n_buckets)).astype(np.int64)
+
+
+def _alt_bucket(b: np.ndarray, fp: np.ndarray, n_buckets: int) -> np.ndarray:
+    fph = (fp.astype(np.uint64) * _MULT) >> np.uint64(32)
+    return ((b.astype(np.uint64) ^ fph) % np.uint64(n_buckets)).astype(np.int64)
+
+
+class CuckooFilter:
+    def __init__(self, n_buckets: int = 1 << 14):
+        self.n_buckets = n_buckets
+        self.table = np.zeros((n_buckets, SLOTS), dtype=np.uint16)
+        self.n_items = 0
+
+    # -- single-key ops (kick loop is inherently sequential) ---------------
+    def _insert_one(self, b1: int, fp: int, rng: np.random.Generator) -> bool:
+        for b in (b1, int(_alt_bucket(np.array([b1]), np.array([fp], np.uint16),
+                                      self.n_buckets)[0])):
+            row = self.table[b]
+            empty = np.nonzero(row == 0)[0]
+            if len(empty):
+                row[empty[0]] = fp
+                self.n_items += 1
+                return True
+        # evict: bounded random-walk kicks
+        b = b1
+        cur = np.uint16(fp)
+        for _ in range(MAX_KICKS):
+            s = int(rng.integers(0, SLOTS))
+            cur, self.table[b, s] = self.table[b, s], cur
+            b = int(_alt_bucket(np.array([b]), np.array([cur], np.uint16),
+                                self.n_buckets)[0])
+            row = self.table[b]
+            empty = np.nonzero(row == 0)[0]
+            if len(empty):
+                row[empty[0]] = cur
+                self.n_items += 1
+                return True
+        return False  # table effectively full
+
+    def insert(self, hashes: np.ndarray) -> int:
+        """Insert int64/uint64 hashes; returns number inserted (stops
+        counting if the table saturates — callers size for load < 0.95)."""
+        h = hashes.astype(np.int64, copy=False).view(np.uint64)
+        fps = _fingerprint(h)
+        b1s = _bucket1(h, self.n_buckets)
+        rng = np.random.default_rng(0xC0FFEE)  # deterministic kicks
+        ok = 0
+        for b1, fp in zip(b1s, fps):
+            ok += self._insert_one(int(b1), int(fp), rng)
+        return ok
+
+    def contains(self, hashes: np.ndarray) -> np.ndarray:
+        """Vectorized membership: True = maybe present, False = definitely
+        absent (for every successfully inserted key)."""
+        h = hashes.astype(np.int64, copy=False).view(np.uint64)
+        fps = _fingerprint(h)
+        b1 = _bucket1(h, self.n_buckets)
+        b2 = _alt_bucket(b1, fps, self.n_buckets)
+        f = fps[:, None]
+        return ((self.table[b1] == f) | (self.table[b2] == f)).any(axis=1)
+
+    def delete(self, hashes: np.ndarray) -> int:
+        """Remove one fingerprint copy per present key (the capability
+        Bloom lacks); returns number removed."""
+        h = hashes.astype(np.int64, copy=False).view(np.uint64)
+        fps = _fingerprint(h)
+        b1s = _bucket1(h, self.n_buckets)
+        b2s = _alt_bucket(b1s, fps, self.n_buckets)
+        removed = 0
+        for b1, b2, fp in zip(b1s, b2s, fps):
+            for b in (int(b1), int(b2)):
+                hit = np.nonzero(self.table[b] == fp)[0]
+                if len(hit):
+                    self.table[b, hit[0]] = 0
+                    self.n_items -= 1
+                    removed += 1
+                    break
+        return removed
+
+    # -- broadcast / merge (mirrors bloom.build_sketch's shape) ------------
+    def to_bytes(self) -> bytes:
+        return self.table.tobytes()
+
+    @classmethod
+    def from_bytes(cls, data: bytes, n_buckets: int) -> "CuckooFilter":
+        cf = cls(n_buckets)
+        cf.table = np.frombuffer(data, dtype=np.uint16).reshape(n_buckets, SLOTS).copy()
+        cf.n_items = int((cf.table != 0).sum())
+        return cf
+
+    def merge(self, other: "CuckooFilter") -> "CuckooFilter":
+        """Merge by re-inserting the other table's fingerprints into their
+        canonical buckets (fingerprint+bucket is position-independent
+        only up to the b1/b2 pair, which re-insertion preserves)."""
+        out = CuckooFilter(self.n_buckets)
+        out.table = self.table.copy()
+        out.n_items = self.n_items
+        rng = np.random.default_rng(0xC0FFEE)
+        rows, slots = np.nonzero(other.table)
+        for b, s in zip(rows, slots):
+            fp = int(other.table[b, s])
+            # other stored fp at b, which is one of its two buckets; insert
+            # trying b first keeps the pairing valid (b2 derives from fp+b)
+            out._insert_one(int(b), fp, rng)
+        return out

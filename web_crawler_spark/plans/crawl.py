@@ -175,6 +175,10 @@ class CrawlEngine:
                           spark.createDataFrame([], schemas.HOST_NEXT)),
                 ex.submit(self.cat.append, "seen", seen, 1),
                 ex.submit(self.cat.append, "survivors", empty_surv, 1),
+                ex.submit(self.cat.append, "pbands",
+                          spark.createDataFrame([], schemas.BAND_IDX), 1),
+                ex.submit(self.cat.append, "cbands",
+                          spark.createDataFrame([], schemas.BAND_IDX), 1),
                 ex.submit(self.cat.append, "crawl_log",
                           spark.createDataFrame([], schemas.CRAWL_LOG), 1),
                 ex.submit(self.cat.append, "images_kept",
@@ -247,33 +251,47 @@ class CrawlEngine:
         prior_surv = cat.read("survivors")
         all_surv = prior_surv.unionByName(batch_surv)
 
-        # -- image near-dup: pHash 4×16-bit LSH bands → equi-join → verify
-        def with_pbands(df, side):
-            return df.select(
+        # -- LSH band INDEX tables: pre-exploded postings, appended per
+        # round. Candidate generation joins only the NEW batch's bands
+        # against the committed index — O(|batch|·bands) join input per
+        # round instead of re-exploding the full survivor history
+        # (the difference between O(n) and O(n²) total work over a
+        # 10^10-row crawl). Attributes needed by the residual filters
+        # are joined back from the survivor table by fetch_seq.
+        pband_arr = F.array(*[
+            F.shiftrightunsigned("phash", s).bitwiseAND(F.lit(0xFFFF))
+            for s in (0, 16, 32, 48)
+        ])
+        batch_pb = batch_surv.select(
+            "fetch_seq", F.posexplode(pband_arr).alias("band_idx", "band_val"))
+        batch_cb = batch_surv.select(
+            "fetch_seq", F.posexplode("bands").alias("band_idx", "band_val"))
+        pidx = cat.read("pbands").unionByName(batch_pb)
+        cidx = cat.read("cbands").unionByName(batch_cb)
+
+        def attrs(side):
+            return all_surv.select(
                 F.col("fetch_seq").alias(f"{side}_seq"),
                 F.col("image_id").alias(f"{side}_id"),
-                F.col("w").alias(f"{side}_w"),
-                F.col("h").alias(f"{side}_h"),
+                F.col("w").alias(f"{side}_w"), F.col("h").alias(f"{side}_h"),
                 F.col("phash").alias(f"{side}_phash"),
                 F.col("caption").alias(f"{side}_caption"),
-                F.posexplode(
-                    F.array(*[
-                        F.shiftrightunsigned("phash", s).bitwiseAND(F.lit(0xFFFF))
-                        for s in (0, 16, 32, 48)
-                    ])
-                ).alias(f"{side}_pband_idx", f"{side}_pband_val"),
             )
 
-        xi = with_pbands(batch_surv, "x")
-        yi = with_pbands(all_surv, "y")
-        img_pairs = (
-            xi.join(yi, (F.col("x_pband_idx") == F.col("y_pband_idx"))
-                    & (F.col("x_pband_val") == F.col("y_pband_val"))
-                    & (F.col("x_w") == F.col("y_w")) & (F.col("x_h") == F.col("y_h")), "inner")
+        # image near-dup: pHash 4×16-bit bands → index join → verify
+        img_cand = (
+            batch_pb.select(F.col("fetch_seq").alias("x_seq"), "band_idx", "band_val")
+            .join(pidx.select(F.col("fetch_seq").alias("y_seq"), "band_idx", "band_val"),
+                  ["band_idx", "band_val"])
             .filter(F.col("y_seq") < F.col("x_seq"))
+            .select("x_seq", "y_seq").distinct()
+        )
+        img_pairs = (
+            img_cand.join(attrs("x"), "x_seq").join(attrs("y"), "y_seq")
+            .filter((F.col("x_w") == F.col("y_w")) & (F.col("x_h") == F.col("y_h")))
             .filter(F.col("x_caption") == F.col("y_caption"))
             .filter(F.bit_count(F.col("x_phash").bitwiseXOR(F.col("y_phash"))) <= cfg.phash_max_hamming)
-            .select("x_seq", "x_id", "y_seq", "y_id").distinct()
+            .select("x_seq", "x_id", "y_seq", "y_id")
         )
         cor = self.corpus.select("image_id", "bytes", "w", "h", "fmt")
         pairs_b = (
@@ -291,21 +309,18 @@ class CrawlEngine:
             .select(F.col("x_seq").alias("fetch_seq")).distinct()
         )
 
-        # -- caption near-dup: MinHash LSH bands → equi-join → exact Jaccard
-        def with_cbands(df, side):
-            return df.select(
-                F.col("fetch_seq").alias(f"{side}_seq"),
-                F.col("caption").alias(f"{side}_caption"),
-                F.posexplode("bands").alias(f"{side}_cband_idx", f"{side}_cband_val"),
-            )
-
-        xc = with_cbands(batch_surv, "x")
-        yc = with_cbands(all_surv, "y")
-        cap_pairs = (
-            xc.join(yc, (F.col("x_cband_idx") == F.col("y_cband_idx"))
-                    & (F.col("x_cband_val") == F.col("y_cband_val")), "inner")
+        # caption near-dup: MinHash bands → index join → exact Jaccard
+        cap_cand = (
+            batch_cb.select(F.col("fetch_seq").alias("x_seq"), "band_idx", "band_val")
+            .join(cidx.select(F.col("fetch_seq").alias("y_seq"), "band_idx", "band_val"),
+                  ["band_idx", "band_val"])
             .filter(F.col("y_seq") < F.col("x_seq"))
-            .select("x_seq", "x_caption", "y_seq", "y_caption").distinct()
+            .select("x_seq", "y_seq").distinct()
+        )
+        cap_pairs = (
+            cap_cand
+            .join(attrs("x").select("x_seq", "x_caption"), "x_seq")
+            .join(attrs("y").select("y_seq", "y_caption"), "y_seq")
         )
         cap_dups = (
             cap_pairs.withColumn("jac", jaccard3_udf("x_caption", "y_caption"))
@@ -449,6 +464,8 @@ class CrawlEngine:
                 ex.submit(cat.stage, "host_next", host_next2),
                 ex.submit(cat.append, "seen", seen_add, 1),
                 ex.submit(cat.append, "survivors", batch_surv.select(*SURVIVOR_COLS), 1),
+                ex.submit(cat.append, "pbands", batch_pb, 1),
+                ex.submit(cat.append, "cbands", batch_cb, 1),
                 ex.submit(cat.append, "crawl_log", log_add, 1),
                 ex.submit(cat.append, "images_kept", kept_add, 1),
                 ex.submit(cat.append, "metrics", metrics_add, 1),

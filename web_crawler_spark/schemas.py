@@ -99,3 +99,14 @@ METRICS = T.StructType(
         T.StructField("rejected_seen", T.LongType(), False),
     ]
 )
+
+# LSH band posting index (pbands/cbands append tables): pre-exploded
+# (band_idx, band_val) → fetch_seq postings, appended per round so
+# near-dup candidate joins touch only the new batch vs the index
+BAND_IDX = T.StructType(
+    [
+        T.StructField("fetch_seq", T.LongType()),
+        T.StructField("band_idx", T.IntegerType()),
+        T.StructField("band_val", T.LongType()),
+    ]
+)
