@@ -31,15 +31,41 @@ def test_bloom_merge_is_union(spark):
     assert np.array_equal(merged, bloom.build_sketch(both, 1 << 16))
 
 
-def test_crawl_identical_with_and_without_bloom(spark, fix_dir, tmp_path_factory):
+def test_crawl_identical_across_sketch_backends(spark, fix_dir, tmp_path_factory):
+    """Off / Bloom / cuckoo prefilters must be result-invisible (the
+    sketch prunes, never decides)."""
     logs = {}
-    for flag in (False, True):
-        run = str(tmp_path_factory.mktemp(f"bloomrun{flag}"))
-        cfg = CrawlConfig(per_host_k=2, max_rounds=4, bloom_prefilter=flag,
-                          bloom_bits=1 << 16)
-        eng = CrawlEngine(spark, fix_dir, run, cfg)
+    variants = {
+        "off": dict(bloom_prefilter=False),
+        "bloom": dict(bloom_prefilter=True, bloom_bits=1 << 16),
+        "cuckoo": dict(bloom_prefilter=True, seen_sketch="cuckoo",
+                       cuckoo_buckets=1 << 10),
+    }
+    for name, kw in variants.items():
+        run = str(tmp_path_factory.mktemp(f"sketchrun_{name}"))
+        eng = CrawlEngine(spark, fix_dir, run,
+                          CrawlConfig(per_host_k=2, max_rounds=4, **kw))
         eng.run()
-        logs[flag] = eng.cat.read("crawl_log").orderBy("fetch_seq").toPandas()
-        logs[(flag, "seen")] = {r.canon_url for r in eng.cat.read("seen").collect()}
-    assert logs[True].equals(logs[False])
-    assert logs[(True, "seen")] == logs[(False, "seen")]
+        logs[name] = eng.cat.read("crawl_log").orderBy("fetch_seq").toPandas()
+        logs[(name, "seen")] = {r.canon_url for r in eng.cat.read("seen").collect()}
+    assert logs["bloom"].equals(logs["off"])
+    assert logs["cuckoo"].equals(logs["off"])
+    assert logs[("bloom", "seen")] == logs[("off", "seen")]
+    assert logs[("cuckoo", "seen")] == logs[("off", "seen")]
+
+
+def test_cuckoo_overflow_degrades_safely(spark):
+    """A saturated cuckoo must answer all-True (no pruning), never
+    produce a false negative."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from web_crawler_spark.core import cuckoo as ck
+
+    tiny = ck.CuckooFilter(n_buckets=8)           # 32 slots
+    keys = np.arange(200, dtype=np.int64) * 7919
+    tiny.insert(keys)                             # forced overflow
+    assert tiny.overflowed
+    assert tiny.contains(keys).all()
+    rt = ck.CuckooFilter.from_bytes(tiny.to_bytes(), 8)
+    assert rt.overflowed and rt.contains(np.array([123456789], np.int64)).all()

@@ -24,3 +24,7 @@ class CrawlConfig:
                                    # tests/test_bloom_crawl.py). Costs ~2 extra
                                    # jobs/round, so off at toy scale, on at 10^10
     bloom_bits: int = 1 << 20    # sketch size; ~10 bits/URL keeps FPR < 1%
+    seen_sketch: str = "bloom"   # "bloom" | "cuckoo" — cuckoo adds deletion
+                                 # (recrawl-window eviction) at the same
+                                 # prefilter-exactness contract
+    cuckoo_buckets: int = 1 << 15  # ×4 slots; size for load < 0.9

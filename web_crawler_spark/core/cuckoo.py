@@ -47,6 +47,11 @@ class CuckooFilter:
         self.n_buckets = n_buckets
         self.table = np.zeros((n_buckets, SLOTS), dtype=np.uint16)
         self.n_items = 0
+        # exactness guard: a failed insert at saturation would be a
+        # FALSE NEGATIVE (prefilter contract violation). If any insert
+        # ever fails, the filter flips to overflowed and contains()
+        # returns all-True — pruning degrades to none, exactness holds.
+        self.overflowed = False
 
     # -- single-key ops (kick loop is inherently sequential) ---------------
     def _insert_one(self, b1: int, fp: int, rng: np.random.Generator) -> bool:
@@ -83,13 +88,18 @@ class CuckooFilter:
         rng = np.random.default_rng(0xC0FFEE)  # deterministic kicks
         ok = 0
         for b1, fp in zip(b1s, fps):
-            ok += self._insert_one(int(b1), int(fp), rng)
+            done = self._insert_one(int(b1), int(fp), rng)
+            ok += done
+            if not done:
+                self.overflowed = True
         return ok
 
     def contains(self, hashes: np.ndarray) -> np.ndarray:
         """Vectorized membership: True = maybe present, False = definitely
         absent (for every successfully inserted key)."""
         h = hashes.astype(np.int64, copy=False).view(np.uint64)
+        if self.overflowed:
+            return np.ones(len(h), dtype=bool)
         fps = _fingerprint(h)
         b1 = _bucket1(h, self.n_buckets)
         b2 = _alt_bucket(b1, fps, self.n_buckets)
@@ -116,13 +126,14 @@ class CuckooFilter:
 
     # -- broadcast / merge (mirrors bloom.build_sketch's shape) ------------
     def to_bytes(self) -> bytes:
-        return self.table.tobytes()
+        return self.table.tobytes() + (b"\x01" if self.overflowed else b"\x00")
 
     @classmethod
     def from_bytes(cls, data: bytes, n_buckets: int) -> "CuckooFilter":
         cf = cls(n_buckets)
-        cf.table = np.frombuffer(data, dtype=np.uint16).reshape(n_buckets, SLOTS).copy()
+        cf.table = np.frombuffer(data[:-1], dtype=np.uint16).reshape(n_buckets, SLOTS).copy()
         cf.n_items = int((cf.table != 0).sum())
+        cf.overflowed = data[-1] == 1
         return cf
 
     def merge(self, other: "CuckooFilter") -> "CuckooFilter":
@@ -132,11 +143,54 @@ class CuckooFilter:
         out = CuckooFilter(self.n_buckets)
         out.table = self.table.copy()
         out.n_items = self.n_items
+        out.overflowed = self.overflowed or other.overflowed
         rng = np.random.default_rng(0xC0FFEE)
         rows, slots = np.nonzero(other.table)
         for b, s in zip(rows, slots):
             fp = int(other.table[b, s])
             # other stored fp at b, which is one of its two buckets; insert
             # trying b first keeps the pairing valid (b2 derives from fp+b)
-            out._insert_one(int(b), fp, rng)
+            if not out._insert_one(int(b), fp, rng):
+                out.overflowed = True
         return out
+
+
+# -- distributed build / broadcast lookup (mirrors core/bloom.py) ----------
+
+def build_sketch(hashes_df, n_buckets: int = 1 << 14, n_parts: int = 16) -> "CuckooFilter":
+    """Distributed build: per-partition cuckoo tables via applyInPandas,
+    merged on the driver by fingerprint re-insertion (only the packed
+    tables cross, never rows). Input: DataFrame with int64 `url_hash`."""
+    from pyspark.sql import functions as F
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        cf = CuckooFilter(n_buckets)
+        cf.insert(pdf["url_hash"].to_numpy(np.int64))
+        return pd.DataFrame({"tbl": [cf.to_bytes()]})
+
+    parts = (
+        hashes_df.select("url_hash")
+        .withColumn("part", F.pmod(F.col("url_hash"), F.lit(n_parts)))
+        .groupBy("part").applyInPandas(build, "tbl binary")
+        .collect()
+    )
+    out = CuckooFilter(n_buckets)
+    for row in parts:
+        out = out.merge(CuckooFilter.from_bytes(row["tbl"], n_buckets))
+    return out
+
+
+def contains_udf(spark, cf: "CuckooFilter"):
+    """pandas_udf(boolean): may the hash be present? False is exact for
+    every successfully inserted key (same contract as bloom.contains_udf)."""
+    from pyspark.sql import functions as F
+
+    bc = spark.sparkContext.broadcast((cf.to_bytes(), cf.n_buckets))
+
+    @F.pandas_udf("boolean")
+    def maybe_seen(hashes: pd.Series) -> pd.Series:
+        data, nb = bc.value
+        local = CuckooFilter.from_bytes(data, nb)
+        return pd.Series(local.contains(hashes.to_numpy(np.int64)))
+
+    return maybe_seen

@@ -42,7 +42,7 @@ from pyspark.sql import functions as F, types as T
 
 from web_crawler_spark import schemas
 from web_crawler_spark.config import CrawlConfig
-from web_crawler_spark.core import bloom
+from web_crawler_spark.core import bloom, cuckoo
 from web_crawler_spark.functions.udfs import (
     canon_udf,
     caption_bands_udf,
@@ -105,17 +105,36 @@ class CrawlEngine:
                 [(h, v["disallow"], float(v["crawl_delay"])) for h, v in robots.items()],
                 schema=schemas.ROBOTS,
             )
-        self._bloom = None  # broadcast seen-set sketch (cfg.bloom_prefilter)
+        self._sketch = None  # broadcast seen-set sketch (cfg.bloom_prefilter)
 
-    def _seen_bloom(self):
-        """Broadcastable Bloom over the seen table: built distributed
-        (per-partition mergeable sketches, OR-merged), then maintained
-        incrementally with per-round deltas. Prefilter ONLY — a miss is
-        provably-new, a hit still goes through the exact anti-join."""
-        if self._bloom is None:
-            self._bloom = bloom.build_sketch(
-                self.cat.read("seen").select("url_hash"), self.cfg.bloom_bits)
-        return self._bloom
+    def _sketch_udf(self):
+        """maybe_seen pandas_udf over the broadcast seen-set sketch,
+        built distributed (per-partition mergeable sketches, merged on
+        the driver) and maintained incrementally with per-round deltas.
+        Backend per cfg.seen_sketch: Bloom (OR-merge) or cuckoo
+        (re-insertion merge + deletion support). Prefilter ONLY — a
+        miss is provably-new, a hit still goes through the exact
+        anti-join; a saturated cuckoo degrades to all-True, never to a
+        false negative."""
+        seen = self.cat.read("seen").select("url_hash")
+        if self.cfg.seen_sketch == "cuckoo":
+            if self._sketch is None:
+                self._sketch = cuckoo.build_sketch(seen, self.cfg.cuckoo_buckets)
+            return cuckoo.contains_udf(self.spark, self._sketch)
+        if self._sketch is None:
+            self._sketch = bloom.build_sketch(seen, self.cfg.bloom_bits)
+        return bloom.contains_udf(self.spark, self._sketch, self.cfg.bloom_bits)
+
+    def _sketch_absorb(self, delta_df) -> None:
+        """Fold a round's new url_hashes into the maintained sketch."""
+        if self._sketch is None:
+            return
+        if self.cfg.seen_sketch == "cuckoo":
+            self._sketch = self._sketch.merge(
+                cuckoo.build_sketch(delta_df, self.cfg.cuckoo_buckets))
+        else:
+            self._sketch = bloom.merge(
+                self._sketch, bloom.build_sketch(delta_df, self.cfg.bloom_bits))
 
     # ------------------------------------------------------------------ init
     def _url_map(self) -> DataFrame:
@@ -388,7 +407,7 @@ class CrawlEngine:
             # new and SKIP the anti-join entirely; only suspected-seen
             # rows (~|seen∩cand| + FPR·|cand|) pay the shuffle. The two
             # branches are disjoint, so exactness is preserved.
-            maybe = bloom.contains_udf(spark, self._seen_bloom(), cfg.bloom_bits)
+            maybe = self._sketch_udf()
             fh = first.withColumn("_uh", F.xxhash64("canon_url")) \
                       .withColumn("_maybe", maybe("_uh"))
             suspects = (fh.filter("_maybe")
@@ -477,11 +496,10 @@ class CrawlEngine:
             "next_fetch_seq": int(ctr["next_fetch_seq"] + n_fetched),
             "budget_spent": int(ctr["budget_spent"] + n_fetched),
         })
-        if cfg.bloom_prefilter and self._bloom is not None and n_new > 0:
+        if cfg.bloom_prefilter and n_new > 0:
             # fold this round's delta into the sketch (distributed build,
-            # driver OR-merge — the incremental path at 10^10 scale)
-            self._bloom = bloom.merge(
-                self._bloom, bloom.build_sketch(seen_add, cfg.bloom_bits))
+            # driver-side merge — the incremental path at 10^10 scale)
+            self._sketch_absorb(seen_add)
         for df in (fetched, batch_surv, statused, disc, new):
             df.unpersist()
         # footer-only count of the just-written frontier — no Spark job

@@ -1,0 +1,104 @@
+"""Crawl-run analytics — the reference's "ad-hoc SQL over crawldb"
+entry point (SURVEY.md §3.1 entry 3), re-expressed as DataFrame plans
+over a run's committed tables.
+
+Each report takes the engine's ManifestCatalog (or any object with
+.read(name)) and returns a DataFrame; all are pure reads of committed
+snapshots, so they can run concurrently with the crawl itself against
+the last committed round (Iceberg semantics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def politeness_audit(cat, robots: DataFrame, default_delay: float = 1.0) -> DataFrame:
+    """Per-host proof that the politeness budget held: the gap between
+    consecutive fetch ROUNDS of one host must be ≥ its crawl_delay.
+    Output: (host, n_fetches, min_round_gap, required_gap, ok)."""
+    log = cat.read("crawl_log")
+    per_round = log.select("host", "round").distinct()
+    w = W.partitionBy("host").orderBy("round")
+    gaps = (
+        per_round.withColumn("prev_round", F.lag("round").over(w))
+        .withColumn("gap", F.col("round") - F.col("prev_round"))
+    )
+    agg = gaps.groupBy("host").agg(
+        F.count("*").alias("n_active_rounds"),
+        F.min("gap").alias("min_round_gap"),
+    )
+    return (
+        agg.join(F.broadcast(robots.select("host", "crawl_delay")), "host", "left")
+        .withColumn("required_gap",
+                    F.greatest(F.ceil(F.coalesce("crawl_delay", F.lit(default_delay)))
+                               .cast("long") + F.lit(0), F.lit(1)))
+        .withColumn("ok", F.col("min_round_gap").isNull()
+                    | (F.col("min_round_gap") >= F.col("required_gap")))
+        .select("host", "n_active_rounds", "min_round_gap", "required_gap", "ok")
+    )
+
+
+def dedup_rates(cat) -> DataFrame:
+    """Per-round dedup funnel from the lineage metrics table:
+    fetch → kept/dup_exact/neardup_* shares + cumulative kept."""
+    m = (
+        cat.read("metrics").groupBy("round")
+        .agg(*[F.sum(c).alias(c) for c in
+               ("fetched", "kept", "dup_exact", "neardup_image",
+                "neardup_caption", "rejected_robots", "rejected_seen")])
+    )
+    w = W.orderBy("round").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        m.withColumn("kept_rate",
+                     F.when(F.col("fetched") > 0,
+                            F.round(F.col("kept") / F.col("fetched"), 4)))
+        .withColumn("cum_kept", F.sum("kept").over(w))
+        .orderBy("round")
+    )
+
+
+def host_summary(cat, top_n: int = 20) -> DataFrame:
+    """Hottest hosts: fetches, kept, depth reached, first/last round —
+    the skew view that motivates salted bucketing."""
+    log = cat.read("crawl_log")
+    return (
+        log.groupBy("host").agg(
+            F.count("*").alias("n_fetched"),
+            F.count_if(F.col("status") == "kept").alias("n_kept"),
+            F.max("priority").alias("max_depth"),
+            F.min("round").alias("first_round"),
+            F.max("round").alias("last_round"),
+        )
+        .orderBy(F.desc("n_fetched"), "host").limit(top_n)
+    )
+
+
+def frontier_depth_histogram(cat) -> DataFrame:
+    """Remaining frontier by discovery depth (priority) and readiness —
+    the queue-shape view an operator watches at 10^10 scale."""
+    f = cat.read("frontier")
+    return (
+        f.groupBy("priority")
+        .agg(F.count("*").alias("n_urls"),
+             F.min("ready_round").alias("min_ready"),
+             F.max("ready_round").alias("max_ready"),
+             F.approx_count_distinct("host").alias("n_hosts"))
+        .orderBy("priority")
+    )
+
+
+def crawl_frontier_join(cat) -> DataFrame:
+    """Fetched-vs-discovered lineage: for each crawl_log row, how many
+    frontier children it spawned (semi-join shape over discovered_seq
+    ranges is not stored, so join on host+depth lineage instead)."""
+    log = cat.read("crawl_log").select(
+        "fetch_seq", "host", F.col("priority").alias("depth"), "status")
+    f = cat.read("frontier").select("host", (F.col("priority") - 1).alias("depth"))
+    spawned = f.groupBy("host", "depth").count().withColumnRenamed("count", "n_children")
+    return (
+        log.join(spawned, ["host", "depth"], "left")
+        .na.fill({"n_children": 0})
+        .select("fetch_seq", "host", "depth", "status", "n_children")
+    )
