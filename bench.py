@@ -124,9 +124,9 @@ def crawl_throughput(spark, n: int = 5000, n_hosts: int = 60) -> dict:
     from web_crawler_spark.config import CrawlConfig
     from web_crawler_spark.plans.crawl import CrawlEngine
 
-    fix = f"/tmp/wcs_bench_fix_n{n}"
+    fix = f"/tmp/wcs_bench_fix_n{n}_s{n_hosts}"
     if not os.path.exists(os.path.join(fix, "corpus.parquet")):
-        generate(fix, n=n, n_hosts=n_hosts)
+        generate(fix, n=n, n_hosts=n_hosts, n_seeds=n_hosts)
     run_dir = f"/tmp/wcs_bench_run_n{n}_c{CPUS}"
     shutil.rmtree(run_dir, ignore_errors=True)
     cfg = CrawlConfig(per_host_k=32, max_rounds=10)

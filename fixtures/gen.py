@@ -53,7 +53,8 @@ def _noise_url(url: str, kind: int) -> str:
     return f"{scheme}://{host}/x/..{path}"
 
 
-def generate(out_dir: str, n: int = 5000, n_hosts: int = 60, seed: int = 42) -> dict:
+def generate(out_dir: str, n: int = 5000, n_hosts: int = 60, seed: int = 42,
+             n_seeds: int = 20) -> dict:
     os.makedirs(out_dir, exist_ok=True)
     rng = np.random.default_rng(seed)
 
@@ -145,13 +146,14 @@ def generate(out_dir: str, n: int = 5000, n_hosts: int = 60, seed: int = 42) -> 
         os.path.join(out_dir, "urls.parquet"),
     )
 
-    # --- seeds: first URL of each distinct host until 20 (file order fixed)
+    # --- seeds: first URL of each distinct host until n_seeds (file order
+    # fixed; n_seeds=n_hosts activates every politeness bucket from round 0)
     seen_hosts, seeds = set(), []
     for i in range(n):
         if host_ids[i] not in seen_hosts:
             seen_hosts.add(host_ids[i])
             seeds.append(urls[i])
-        if len(seeds) == 20:
+        if len(seeds) == n_seeds:
             break
     with open(os.path.join(out_dir, "seeds.txt"), "w") as f:
         f.write("\n".join(seeds) + "\n")
