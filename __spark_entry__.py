@@ -72,6 +72,10 @@ _SQL_CHECKED = {
     "ngram_jaccard": (Q.q_ngram_jaccard, Q.SQL_NGRAM_JACCARD),
     "embedding_cosine_topk": (Q.q_embedding_cosine_topk, Q.SQL_EMBEDDING_COSINE_TOPK),
     "dedup_embedding_cosine": (Q.q_dedup_embedding_cosine, Q.SQL_DEDUP_EMBEDDING_COSINE),
+    "percentile_agg": (Q.q_percentile_agg, Q.SQL_PERCENTILE_AGG),
+    "string_agg": (Q.q_string_agg, Q.SQL_STRING_AGG),
+    "conditional_agg": (Q.q_conditional_agg, Q.SQL_CONDITIONAL_AGG),
+    "regexp_count": (Q.q_regexp_count, Q.SQL_REGEXP_COUNT),
 }
 
 _ROWS_ONLY = {

@@ -17,7 +17,8 @@ SAMPLE = [
     "pricing_summary", "fetch_join", "asof_join", "topk_per_group",
     "session_window", "metrics_rollup", "bitmap_distinct", "pivot",
     "ngram_jaccard", "embedding_cosine_topk", "lag_gap", "dedup_exact",
-    "dedup_embedding_cosine",
+    "dedup_embedding_cosine", "percentile_agg", "string_agg",
+    "conditional_agg", "regexp_count",
 ]
 
 

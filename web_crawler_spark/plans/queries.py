@@ -769,3 +769,93 @@ WHERE a.vec_id < b.vec_id
   AND round(list_dot_product(a.emb, b.emb)
             / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 4) >= 0.98
 """
+
+
+def q_percentile_agg(spark, sf):
+    """Exact interpolated percentiles (median/p90) — JVM-side
+    `percentile`, not the approximate sketch. Prices go through integer
+    CENTS first: median midpoints then land on exact .0/.5 doubles, so
+    no output rounding is needed and the DuckDB quantile_cont twin
+    matches bit-for-bit (rounding a float median at a half-cent
+    boundary flips per engine — the classic parity trap)."""
+    li = _t(spark, sf, "lineitem").withColumn(
+        "price_cents", F.round(F.col("l_extendedprice") * 100, 0).cast("long"))
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.median("price_cents").alias("median_price_cents"),
+             F.round(F.percentile("l_quantity", F.lit(0.9)), 2).alias("p90_qty"),
+             F.median("l_quantity").alias("median_qty"))
+        .orderBy("l_returnflag")
+    )
+
+SQL_PERCENTILE_AGG = """
+SELECT l_returnflag,
+       median(CAST(round(l_extendedprice * 100) AS BIGINT)) AS median_price_cents,
+       round(quantile_cont(l_quantity, 0.9), 2) AS p90_qty,
+       median(l_quantity) AS median_qty
+FROM lineitem GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_string_agg(spark, sf):
+    """Ordered string aggregation: nations per region as a sorted CSV
+    (array_agg -> array_sort -> array_join keeps the order deterministic,
+    which raw listagg does not guarantee under parallel aggregation)."""
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
+             F.count("*").alias("n_nations"))
+    )
+
+SQL_STRING_AGG = """
+SELECT r_name,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations,
+       count(*) AS n_nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY 1
+"""
+
+
+def q_conditional_agg(spark, sf):
+    """FILTER-clause style conditional aggregation over order status."""
+    o = _t(spark, sf, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"),
+             F.count_if(F.col("o_orderstatus") == "F").alias("n_filled"),
+             F.count_if(F.col("o_totalprice") > 100000).alias("n_large"),
+             F.round(F.sum(F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice"))
+                           .otherwise(F.lit(0.0))), 2).alias("filled_value"))
+    )
+
+SQL_CONDITIONAL_AGG = """
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled,
+       count(*) FILTER (WHERE o_totalprice > 100000) AS n_large,
+       round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END), 2) AS filled_value
+FROM orders GROUP BY 1
+"""
+
+
+def q_regexp_count(spark, sf):
+    """Vectorized regex hit counting over document text (JVM regexp_count
+    — the token/quality scoring primitive at corpus scale)."""
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(r"\bthe\b")).alias("n_the"),
+        F.regexp_count("text", F.lit(r"[0-9]+")).alias("n_numbers"),
+        F.regexp_count("text", F.lit(r"[.!?]")).alias("n_sentence_marks"),
+    )
+
+SQL_REGEXP_COUNT = r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '\bthe\b')) AS n_the,
+       len(regexp_extract_all(text, '[0-9]+')) AS n_numbers,
+       len(regexp_extract_all(text, '[.!?]')) AS n_sentence_marks
+FROM documents
+"""
