@@ -43,3 +43,21 @@ def test_phash_nonnegative_63bit():
     for seed in range(5):
         p = phash(_img(seed))
         assert 0 <= p < (1 << 63)
+
+
+def test_resize_shapes_and_determinism():
+    import numpy as np
+
+    from web_crawler_spark.core import imagecodec
+
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, size=(48, 64, 3), dtype=np.uint8)
+    small = imagecodec.resize(px, 16, 16)
+    assert small.shape == (16, 16, 3) and small.dtype == np.uint8
+    assert np.array_equal(small, imagecodec.resize(px, 16, 16))
+    # identity resize is exact
+    assert np.array_equal(imagecodec.resize(px, 64, 48), px)
+    # upscale keeps the value set (nearest-neighbor property)
+    up = imagecodec.resize(px, 128, 96)
+    assert up.shape == (96, 128, 3)
+    assert set(np.unique(up)) <= set(np.unique(px))

@@ -49,3 +49,14 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     if mse == 0.0:
         return float("inf")
     return 10.0 * np.log10(255.0 * 255.0 / mse)
+
+
+def resize(pixels: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize, pure numpy index math: (h,w,3) uint8 →
+    (out_h,out_w,3). Pixel-center sampling (the standard NN convention),
+    deterministic — the resize step of the multimodal feature pipeline
+    (a production bilinear/Lanczos kernel drops into this signature)."""
+    h, w = pixels.shape[0], pixels.shape[1]
+    ys = np.minimum(((np.arange(out_h) + 0.5) * h / out_h).astype(np.int64), h - 1)
+    xs = np.minimum(((np.arange(out_w) + 0.5) * w / out_w).astype(np.int64), w - 1)
+    return pixels[ys[:, None], xs[None, :]]

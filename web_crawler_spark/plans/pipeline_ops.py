@@ -185,15 +185,17 @@ def q_bloom_prefilter(spark, sf):
 def q_image_pipeline(spark, sf):
     """End-to-end multimodal plumbing on a deterministic in-flight corpus:
     spark.range → generate pixels (seeded per id) → encode lossy → decode →
-    pHash + PSNR-vs-original, all inside one mapInPandas pass (binary
-    columns never leave the Arrow batch). Heavier codecs (JPEG decode,
-    resize, frame-sample) slot into the same signature."""
+    resize to a 16×16 thumbnail → pHash + PSNR-vs-original + thumb
+    features, all inside one mapInPandas pass (binary columns never
+    leave the Arrow batch). Heavier codecs (JPEG decode, frame-sample)
+    slot into the same signature."""
     from web_crawler_spark.core import imagecodec, phash as ph
 
     def gen_and_verify(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             ids = pdf["id"].to_numpy()
-            rows = {"id": [], "w": [], "h": [], "fmt": [], "phash": [], "psnr_db": [], "psnr_ok": []}
+            rows = {"id": [], "w": [], "h": [], "fmt": [], "phash": [],
+                    "psnr_db": [], "psnr_ok": [], "thumb_mean": []}
             for i in ids:
                 rng = np.random.default_rng(1000 + int(i))
                 w, h = int(rng.choice([32, 48])), int(rng.choice([32, 48]))
@@ -201,14 +203,17 @@ def q_image_pipeline(spark, sf):
                 enc = imagecodec.encode(px, "q6")
                 dec = imagecodec.decode(enc, w, h, "q6")
                 p = imagecodec.psnr(px, dec)
+                thumb = imagecodec.resize(dec, 16, 16)
                 rows["id"].append(int(i)); rows["w"].append(w); rows["h"].append(h)
                 rows["fmt"].append("q6"); rows["phash"].append(ph.phash(dec))
                 rows["psnr_db"].append(round(min(p, 99.0), 2)); rows["psnr_ok"].append(p >= 40.0)
+                rows["thumb_mean"].append(round(float(thumb.mean()), 3))
             yield pd.DataFrame(rows)
 
     return spark.range(0, 256, 1, 8).mapInPandas(
         gen_and_verify,
-        "id long, w int, h int, fmt string, phash long, psnr_db double, psnr_ok boolean",
+        "id long, w int, h int, fmt string, phash long, psnr_db double, "
+        "psnr_ok boolean, thumb_mean double",
     )
 
 
