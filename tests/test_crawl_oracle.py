@@ -55,7 +55,7 @@ def test_kept_rows_per_row_invariant(engine_and_oracle, fix_dir):
     """Every kept row: decoded pixels match the oracle's corpus row
     (exact for raw; PSNR ≥ 40 dB re-encode tolerance) + caption equality."""
     eng, res = engine_and_oracle
-    kept = eng.cat.read("images_kept").join(
+    kept = eng.images_kept().join(
         eng.corpus.select("image_id", "bytes", "w", "h", "fmt",
                           eng.corpus.caption.alias("corpus_caption")),
         "image_id",

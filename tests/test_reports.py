@@ -30,7 +30,7 @@ def test_dedup_rates_consistent_with_log(run_engine):
     total = rates.agg(F.sum("fetched")).first()[0]
     assert total == run_engine.cat.read("crawl_log").count()
     last_cum = rates.orderBy(F.desc("round")).first()["cum_kept"]
-    assert last_cum == run_engine.cat.read("images_kept").count()
+    assert last_cum == run_engine.images_kept().count()
 
 
 def test_host_summary_counts(run_engine):

@@ -27,4 +27,7 @@ class CrawlConfig:
     seen_sketch: str = "bloom"   # "bloom" | "cuckoo" — cuckoo adds deletion
                                  # (recrawl-window eviction) at the same
                                  # prefilter-exactness contract
-    cuckoo_buckets: int = 1 << 15  # ×4 slots; size for load < 0.9
+    cuckoo_buckets: int = 1 << 15  # ×4 slots; size for load < 0.9.
+                                   # MUST be a power of two (cuckoo
+                                   # alt-bucket XOR involution; enforced
+                                   # in CuckooFilter.__init__)

@@ -44,6 +44,13 @@ def _alt_bucket(b: np.ndarray, fp: np.ndarray, n_buckets: int) -> np.ndarray:
 
 class CuckooFilter:
     def __init__(self, n_buckets: int = 1 << 14):
+        # power-of-two REQUIRED: _alt_bucket's (b ^ hash(fp)) % n_buckets
+        # is involutive only when the modulus is a power of two; any other
+        # size lets kicked fingerprints drift outside their bucket pair →
+        # silent false negatives, which would break the prefilter's
+        # exactness contract (a miss must be provably-absent).
+        if n_buckets <= 0 or (n_buckets & (n_buckets - 1)) != 0:
+            raise ValueError(f"n_buckets must be a power of two, got {n_buckets}")
         self.n_buckets = n_buckets
         self.table = np.zeros((n_buckets, SLOTS), dtype=np.uint16)
         self.n_items = 0

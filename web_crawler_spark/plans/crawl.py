@@ -21,13 +21,17 @@ Scale design (10^10-URL frontier; sandbox runs are scaled down):
   PSNR verification (mapInPandas, Arrow-batched).
 - Exact seen-set semantics: the graded membership decision is always the
   anti-join against the seen TABLE; sketches (bloom filter join pruning
-  is enabled in session.py) only prune, never decide.
-- The global fetch order materialized below uses a single-partition
-  window; it is required bit-exact only at validation scale. At cluster
-  scale set cfg-level ``total_order=False`` equivalent: order per
-  (bucket) with the same (priority, discovered_seq) tie-break — the
-  per-round BATCH (≤ k·|hosts|) is orders of magnitude smaller than the
-  frontier, which is what makes even the global sort feasible.
+  is enabled in session.py) only prune, never decide. The anti-join keys
+  on the int64 url_hash FIRST with the canon_url string as a secondary
+  equi-key: shuffle partitioning and sort comparisons resolve on the
+  hash, the string equality is the exactness residual (hash collisions
+  can never create a false "seen").
+- Global sequence numbers (fetch_seq per batch, discovered_seq over a
+  round's new links) are assigned by the TWO-PHASE scheme in plans/seq.py
+  — per-bucket row_number + prefix-summed bucket offsets — never by an
+  unpartitioned window. One round's discoveries at 10^10 scale are
+  billions of rows; a single-partition window there is the canonical
+  scale-killer.
 """
 
 from __future__ import annotations
@@ -51,6 +55,7 @@ from web_crawler_spark.functions.udfs import (
     pair_psnr_cols,
     path_udf,
 )
+from web_crawler_spark.plans.seq import with_global_seq
 from web_crawler_spark.sources import robots as robots_src
 from web_crawler_spark.sources.catalog import ManifestCatalog
 
@@ -74,6 +79,19 @@ class _T:
         import time
         if _PROF:
             print(f"      [prof] {self.label}: {time.perf_counter() - self.t0:.2f}s", flush=True)
+
+
+def _metrics_arrow(rows: list[tuple]):
+    """Per-round metrics rows (already collected — they are at most
+    n_buckets+1 tuples) as a pyarrow table matching schemas.METRICS, for
+    the catalog's driver-side append (no Spark job for a literal)."""
+    import pyarrow as pa
+
+    cols = list(zip(*rows)) if rows else [[] for _ in range(9)]
+    names = ["round", "partition_id", "fetched", "kept", "dup_exact",
+             "neardup_image", "neardup_caption", "rejected_robots", "rejected_seen"]
+    types = [pa.int32(), pa.int32()] + [pa.int64()] * 7
+    return pa.table({n: pa.array(c, t) for n, c, t in zip(names, cols, types)})
 
 
 def _bucket(host_col, url_col, cfg: CrawlConfig):
@@ -171,15 +189,16 @@ class CrawlEngine:
             ~F.exists(F.coalesce("disallow", F.array().cast("array<string>")),
                       lambda p: F.col("path").startswith(p)),
         )
-        allowed = s.filter("allowed")
-        wseq = Window.orderBy("file_pos")
+        allowed = s.filter("allowed").withColumn(
+            "_sb", (F.col("file_pos") / F.lit(1024)).cast("long"))
+        allowed = with_global_seq(allowed, ["_sb"], ["file_pos"], "discovered_seq")
         frontier = allowed.select(
             F.col("canon_url"),
             F.xxhash64("canon_url").alias("url_hash"),
             F.col("host"),
             _bucket(F.col("host"), F.col("canon_url"), cfg).alias("bucket"),
             F.lit(0).alias("priority"),
-            (F.row_number().over(wseq) - 1).cast("long").alias("discovered_seq"),
+            "discovered_seq",
             F.lit(0).alias("ready_round"),
         )
         seen = s.select("canon_url", F.xxhash64("canon_url").alias("url_hash"))
@@ -187,26 +206,21 @@ class CrawlEngine:
         empty_surv = spark.createDataFrame(
             [], "fetch_seq long, image_id string, w int, h int, phash long,"
                 "caption string, content_sha string, bands array<bigint>")
-        with ThreadPoolExecutor(max_workers=7) as ex:
+        with ThreadPoolExecutor(max_workers=6) as ex:
             futs = [
                 ex.submit(self.cat.stage, "frontier", frontier.repartition(8, "bucket")),
                 ex.submit(self.cat.stage, "host_next",
                           spark.createDataFrame([], schemas.HOST_NEXT)),
                 ex.submit(self.cat.append, "seen", seen, 1),
                 ex.submit(self.cat.append, "survivors", empty_surv, 1),
-                ex.submit(self.cat.append, "pbands",
-                          spark.createDataFrame([], schemas.BAND_IDX), 1),
-                ex.submit(self.cat.append, "cbands",
+                ex.submit(self.cat.append, "bands",
                           spark.createDataFrame([], schemas.BAND_IDX), 1),
                 ex.submit(self.cat.append, "crawl_log",
                           spark.createDataFrame([], schemas.CRAWL_LOG), 1),
-                ex.submit(self.cat.append, "images_kept",
-                          spark.createDataFrame([], schemas.IMAGES_KEPT), 1),
-                ex.submit(self.cat.append, "metrics",
-                          spark.createDataFrame([], schemas.METRICS), 1),
             ]
             for f in futs:
                 f.result()
+        self.cat.append_local("metrics", _metrics_arrow([]))
         self.cat.commit(-1, {"next_seq": n_seq, "next_fetch_seq": 0, "budget_spent": 0})
 
     # ----------------------------------------------------------------- round
@@ -216,7 +230,7 @@ class CrawlEngine:
         budget_left = (cfg.global_budget - ctr["budget_spent"]
                        if cfg.global_budget is not None else None)
         if budget_left is not None and budget_left <= 0:
-            return {"fetched": 0, "frontier": cat.read("frontier").count(), "stopped": True}
+            return {"fetched": 0, "frontier": cat.staged_rowcount("frontier"), "stopped": True}
 
         frontier = cat.read("frontier")
         host_next = cat.read("host_next")
@@ -231,26 +245,30 @@ class CrawlEngine:
         sel = elig.withColumn("rn", F.row_number().over(wk)).filter(F.col("rn") <= cfg.per_host_k).drop("rn")
         if budget_left is not None:
             sel = sel.orderBy("priority", "discovered_seq").limit(int(budget_left))
-        wseq = Window.orderBy("priority", "discovered_seq")
-        batch = sel.withColumn(
-            "fetch_seq", (F.row_number().over(wseq) - 1 + F.lit(ctr["next_fetch_seq"])).cast("long")
-        )
+        # two-phase global fetch_seq over (priority, discovered_seq):
+        # priority + a range-bucket of discovered_seq is a monotone
+        # coarsening of the batch order, so assignment stays parallel
+        # (plans/seq.py) — no single-partition window over the batch
+        db = max(1, int(ctr["next_seq"]) // 4096)
+        batch = with_global_seq(
+            sel.withColumn("_db", (F.col("discovered_seq") / F.lit(db)).cast("long")),
+            ["priority", "_db"], ["discovered_seq"],
+            "fetch_seq", start=int(ctr["next_fetch_seq"]),
+        ).drop("_db")
 
         # -- fetch: frontier batch ⋈ url_map ⋈ corpus (the sandbox's HTTP GET)
+        # n_fetched rides an Observation on the first deep action below
+        # (new.agg) instead of a dedicated count job per superstep
         url_map = cat.read("url_map")
+        fetch_obs = Observation(f"fetch_r{r}")
         fetched = (
             batch.join(url_map.select("image_id", "canon_url"), "canon_url", "inner")
             .join(self.corpus, "image_id", "inner")
             .withColumn("content_sha", F.sha2("bytes", 256))
             .drop("bytes")  # bytes re-joined only for candidate PAIRS (scale: §4.4)
+            .observe(fetch_obs, F.count(F.lit(1)).alias("n"))
             .persist()
         )
-        with _T("fetch.count"):
-            n_fetched = fetched.count()
-        if n_fetched == 0:
-            fetched.unpersist()
-            n_frontier = cat.staged_rowcount("frontier")
-            return {"fetched": 0, "frontier": n_frontier, "stopped": n_frontier == 0}
 
         # -- exact dedup: first-writer-wins per content hash, global order
         prior_sha = cat.read("survivors").select("content_sha").distinct()
@@ -285,8 +303,9 @@ class CrawlEngine:
             "fetch_seq", F.posexplode(pband_arr).alias("band_idx", "band_val"))
         batch_cb = batch_surv.select(
             "fetch_seq", F.posexplode("bands").alias("band_idx", "band_val"))
-        pidx = cat.read("pbands").unionByName(batch_pb)
-        cidx = cat.read("cbands").unionByName(batch_cb)
+        bands_idx = cat.read("bands")
+        pidx = bands_idx.filter(F.col("kind") == "p").drop("kind").unionByName(batch_pb)
+        cidx = bands_idx.filter(F.col("kind") == "c").drop("kind").unionByName(batch_cb)
 
         def attrs(side):
             return all_surv.select(
@@ -367,9 +386,9 @@ class CrawlEngine:
             "fetch_seq", F.lit(r).alias("round"), "canon_url", "host", "image_id",
             "priority", "discovered_seq", "status",
         )
-        kept_add = statused.filter("status = 'kept'").select(
-            "fetch_seq", "image_id", "caption", "phash", "content_sha"
-        )
+        # kept rows are NOT materialized as their own table: they are the
+        # survivors the log marks 'kept' (see images_kept()) — one fewer
+        # append job per superstep
 
         # -- politeness clocks: per HOST (re-aggregated across salt buckets)
         fetched_hosts = statused.select("host").distinct()
@@ -397,25 +416,29 @@ class CrawlEngine:
         )
         disc_obs = Observation(f"disc_r{r}")
         disc = links.join(url_map, links.t_image_id == url_map.image_id, "inner").select(
-            "fetch_seq", "link_pos", "priority", "canon_url", "host", "path"
+            "fetch_seq", "link_pos", "priority", "canon_url", "host", "path",
+            F.xxhash64("canon_url").alias("url_hash"),
         ).observe(disc_obs, F.count(F.lit(1)).alias("n")).persist()
 
-        wdisc = Window.partitionBy("canon_url").orderBy("fetch_seq", "link_pos")
+        wdisc = Window.partitionBy("url_hash", "canon_url").orderBy("fetch_seq", "link_pos")
         first = disc.withColumn("rn", F.row_number().over(wdisc)).filter("rn = 1").drop("rn")
+        # seen membership: equi-join keyed on the int64 url_hash FIRST,
+        # canon_url second — partitioning/sort comparisons resolve on the
+        # hash; the string equality is the exactness residual (a hash
+        # collision can never mark a genuinely-new URL as seen)
+        seen_tbl = cat.read("seen").select("url_hash", "canon_url")
         if cfg.bloom_prefilter:
             # Bloom-routed seen check (§4.3): sketch misses are provably
             # new and SKIP the anti-join entirely; only suspected-seen
             # rows (~|seen∩cand| + FPR·|cand|) pay the shuffle. The two
             # branches are disjoint, so exactness is preserved.
             maybe = self._sketch_udf()
-            fh = first.withColumn("_uh", F.xxhash64("canon_url")) \
-                      .withColumn("_maybe", maybe("_uh"))
+            fh = first.withColumn("_maybe", maybe("url_hash"))
             suspects = (fh.filter("_maybe")
-                        .join(cat.read("seen"), "canon_url", "left_anti"))
-            new = fh.filter(~F.col("_maybe")).unionByName(suspects) \
-                    .drop("_uh", "_maybe")
+                        .join(seen_tbl, ["url_hash", "canon_url"], "left_anti"))
+            new = fh.filter(~F.col("_maybe")).unionByName(suspects).drop("_maybe")
         else:
-            new = first.join(cat.read("seen"), "canon_url", "left_anti")
+            new = first.join(seen_tbl, ["url_hash", "canon_url"], "left_anti")
         new = (
             new.join(F.broadcast(self.robots.select("host", "disallow")), "host", "left")
             .withColumn(
@@ -424,25 +447,42 @@ class CrawlEngine:
                           lambda p: F.col("path").startswith(p)),
             ).persist()
         )
-        # one action for three counts: the agg job's scan of `new` also
-        # materializes the `disc` cache, firing the Observation (no
-        # separate disc.count job per round)
+        # one action for four counts: the agg job's scan of `new` also
+        # materializes the `disc` and `fetched` caches, firing both
+        # Observations (no separate count jobs per round)
         with _T("new.agg"):
             _c = new.agg(F.count("*").alias("n"), F.count_if("allowed").alias("a")).first()
         n_new, n_allowed = int(_c["n"]), int(_c["a"])
         n_links = int(disc_obs.get["n"])
+        n_fetched = int(fetch_obs.get["n"])
+        if n_fetched == 0:
+            for df in (fetched, batch_surv, statused, disc, new):
+                df.unpersist()
+            n_frontier = cat.staged_rowcount("frontier")
+            return {"fetched": 0, "frontier": n_frontier, "stopped": n_frontier == 0}
         allowed_new = new.filter("allowed")
-        wnewseq = Window.orderBy("fetch_seq", "link_pos")
-        frontier_add = allowed_new.select(
+        # two-phase discovered_seq over (fetch_seq, link_pos): range-
+        # buckets of fetch_seq are a monotone coarsening of the discovery
+        # order — one round's new links can be billions of rows at
+        # frontier scale, so no unpartitioned window here either
+        fb = max(1, n_fetched // 2048)
+        an = with_global_seq(
+            allowed_new.withColumn(
+                "_fb",
+                ((F.col("fetch_seq") - F.lit(int(ctr["next_fetch_seq"]))) / F.lit(fb)).cast("long")),
+            ["_fb"], ["fetch_seq", "link_pos"],
+            "discovered_seq", start=int(ctr["next_seq"]),
+        )
+        frontier_add = an.select(
             "canon_url",
-            F.xxhash64("canon_url").alias("url_hash"),
+            "url_hash",
             "host",
             _bucket(F.col("host"), F.col("canon_url"), cfg).alias("bucket"),
             (F.col("priority") + 1).alias("priority"),
-            (F.row_number().over(wnewseq) - 1 + F.lit(ctr["next_seq"])).cast("long").alias("discovered_seq"),
+            "discovered_seq",
             F.lit(r + 1).alias("ready_round"),
         )
-        seen_add = new.select("canon_url", F.xxhash64("canon_url").alias("url_hash"))
+        seen_add = new.select("canon_url", "url_hash")
         frontier2 = (
             frontier.join(batch.select("discovered_seq"), "discovered_seq", "left_anti")
             .unionByName(frontier_add)
@@ -462,35 +502,37 @@ class CrawlEngine:
                  _is("neardup_caption").alias("neardup_caption"))
             .collect()
         )
-        metrics_add = self.spark.createDataFrame(
+        metrics_add = _metrics_arrow(
             [(r, int(b["bucket"]), int(b["fetched"]), int(b["kept"]),
               int(b["dup_exact"]), int(b["neardup_image"]),
               int(b["neardup_caption"]), 0, 0) for b in bucket_rows]
             + [(r, -1, 0, 0, 0, 0, 0, int(n_new - n_allowed), int(n_links - n_new))],
-            schemas.METRICS,
         )
 
         # -- snapshot commit (atomic; resume point). State deltas go through
         # append-only tables (Iceberg append semantics — no rewrite
         # amplification); only frontier + host clocks are rewritten.
-        # All seven tables derive from cached frames — submit the write
-        # jobs concurrently (Spark schedules them across the cluster; the
-        # wall cost is max(job) not sum(job)). Visibility still flips
-        # atomically at commit().
-        with _T("writes.parallel"), ThreadPoolExecutor(max_workers=7) as ex:
+        # All six distributed tables derive from cached frames — submit
+        # the write jobs concurrently (Spark schedules them across the
+        # cluster; the wall cost is max(job) not sum(job)). Metrics rows
+        # are already collected literals and append driver-side with no
+        # job. Visibility still flips atomically at commit().
+        bands_add = (
+            batch_pb.withColumn("kind", F.lit("p"))
+            .unionByName(batch_cb.withColumn("kind", F.lit("c")))
+        )
+        with _T("writes.parallel"), ThreadPoolExecutor(max_workers=6) as ex:
             futs = [
                 ex.submit(cat.stage, "frontier", frontier2.repartition(8, "bucket")),
                 ex.submit(cat.stage, "host_next", host_next2),
                 ex.submit(cat.append, "seen", seen_add, 1),
                 ex.submit(cat.append, "survivors", batch_surv.select(*SURVIVOR_COLS), 1),
-                ex.submit(cat.append, "pbands", batch_pb, 1),
-                ex.submit(cat.append, "cbands", batch_cb, 1),
+                ex.submit(cat.append, "bands", bands_add, 1),
                 ex.submit(cat.append, "crawl_log", log_add, 1),
-                ex.submit(cat.append, "images_kept", kept_add, 1),
-                ex.submit(cat.append, "metrics", metrics_add, 1),
             ]
             for f in futs:
                 f.result()
+        cat.append_local("metrics", metrics_add)
         cat.commit(r, {
             "next_seq": int(ctr["next_seq"] + n_allowed),
             "next_fetch_seq": int(ctr["next_fetch_seq"] + n_fetched),
@@ -505,6 +547,21 @@ class CrawlEngine:
         # footer-only count of the just-written frontier — no Spark job
         n_frontier = cat.staged_rowcount("frontier")
         return {"fetched": n_fetched, "frontier": n_frontier, "stopped": n_frontier == 0}
+
+    # ------------------------------------------------------------ derived
+    def images_kept(self) -> DataFrame:
+        """Kept image+caption rows — a VIEW over committed tables (the
+        survivors the crawl log marks 'kept'), not a per-round append:
+        the Iceberg twin is a view over the same two tables."""
+        kept_seq = (
+            self.cat.read("crawl_log")
+            .filter(F.col("status") == "kept").select("fetch_seq")
+        )
+        return (
+            self.cat.read("survivors")
+            .join(kept_seq, "fetch_seq", "left_semi")
+            .select("fetch_seq", "image_id", "caption", "phash", "content_sha")
+        )
 
     # ------------------------------------------------------------------- run
     def run(self) -> dict:

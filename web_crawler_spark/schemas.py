@@ -100,13 +100,17 @@ METRICS = T.StructType(
     ]
 )
 
-# LSH band posting index (pbands/cbands append tables): pre-exploded
+# LSH band posting index (single `bands` append table): pre-exploded
 # (band_idx, band_val) → fetch_seq postings, appended per round so
-# near-dup candidate joins touch only the new batch vs the index
+# near-dup candidate joins touch only the new batch vs the index.
+# kind routes the posting family: 'p' = pHash bands, 'c' = caption
+# MinHash bands (one table instead of two halves the per-round append
+# jobs; readers filter on kind, pushed to the parquet scan).
 BAND_IDX = T.StructType(
     [
         T.StructField("fetch_seq", T.LongType()),
         T.StructField("band_idx", T.IntegerType()),
         T.StructField("band_val", T.LongType()),
+        T.StructField("kind", T.StringType()),
     ]
 )

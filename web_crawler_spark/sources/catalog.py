@@ -67,6 +67,8 @@ class ManifestCatalog:
         import pyarrow.parquet as pq
 
         v = getattr(self, "_staged", {}).get(name, self.manifest["versions"].get(name))
+        if v is None:
+            raise KeyError(f"table {name!r} has no staged or committed version")
         path = os.path.join(self.tables_dir, name, f"v{v}")
         return sum(
             pq.read_metadata(os.path.join(path, f)).num_rows
@@ -101,6 +103,24 @@ class ManifestCatalog:
         path = os.path.join(self.tables_dir, name, f"v{v}")
         w = df.coalesce(partitions) if partitions else df
         w.write.mode("overwrite").parquet(path)
+        return v
+
+    def append_local(self, name: str, table) -> int:
+        """Append a small DRIVER-SIDE pyarrow table without launching a
+        Spark job — for per-round literal frames (metrics rows, already
+        collected) where a distributed write is pure fixed cost. The
+        Iceberg twin appends the same tiny batch through writeTo()."""
+        import pyarrow.parquet as pq
+
+        with self._lock:
+            self._staged_appends = getattr(self, "_staged_appends", {})
+            staged = self._staged_appends
+            prior = self.manifest["appends"].get(name, [])
+            v = (max(prior + staged.get(name, [])) + 1) if (prior or staged.get(name)) else 0
+            staged.setdefault(name, []).append(v)
+        path = os.path.join(self.tables_dir, name, f"v{v}")
+        os.makedirs(path, exist_ok=True)
+        pq.write_table(table, os.path.join(path, "part-00000.parquet"))
         return v
 
     def commit(self, round_no: int, counters: dict) -> None:

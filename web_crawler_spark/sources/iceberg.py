@@ -75,7 +75,15 @@ class IcebergCatalog:
     def read(self, name: str) -> DataFrame:
         snap = self._pins.get(name)
         if snap is None:
-            return self.spark.table(f"{self.ns}.{name}")
+            # committed-only read semantics (ManifestCatalog parity): a
+            # table staged/appended after the last commit must NOT be
+            # readable before its round commits — an unpinned
+            # spark.table() here would expose uncommitted snapshots to
+            # concurrent readers.
+            raise KeyError(
+                f"table {name!r} has no committed snapshot pin in "
+                f"{self.ns}.rounds; commit the round before reading"
+            )
         return self.spark.read.option("snapshot-id", snap).table(f"{self.ns}.{name}")
 
     def staged_rowcount(self, name: str) -> int:

@@ -65,7 +65,7 @@ def parse_robots_txt(text: str, agent: str = "wcs-crawler") -> dict:
         for a in agents:
             if a == "*":
                 score = 0
-            elif a in agent or agent in a:
+            elif a in agent:  # one-way substring, mirroring robotparser
                 score = len(a)
             else:
                 continue
