@@ -71,7 +71,9 @@ _SQL_CHECKED = {
     "text_quality": (Q.q_text_quality, Q.SQL_TEXT_QUALITY),
     "ngram_jaccard": (Q.q_ngram_jaccard, Q.SQL_NGRAM_JACCARD),
     "embedding_cosine_topk": (Q.q_embedding_cosine_topk, Q.SQL_EMBEDDING_COSINE_TOPK),
-    "dedup_embedding_cosine": (Q.q_dedup_embedding_cosine, Q.SQL_DEDUP_EMBEDDING_COSINE),
+    # Spark side is the LSH-bucketed plan (no cross join); the SQL twin
+    # stays brute-force — the hash match doubles as the recall proof
+    "dedup_embedding_cosine": (P.q_dedup_embedding_cosine, Q.SQL_DEDUP_EMBEDDING_COSINE),
     "percentile_agg": (Q.q_percentile_agg, Q.SQL_PERCENTILE_AGG),
     "string_agg": (Q.q_string_agg, Q.SQL_STRING_AGG),
     "conditional_agg": (Q.q_conditional_agg, Q.SQL_CONDITIONAL_AGG),
@@ -79,16 +81,19 @@ _SQL_CHECKED = {
 }
 
 _ROWS_ONLY = {
-    # non-SQL-expressible: sketches, seeded LSH, UDF heuristics, crawl loop
+    # non-SQL-expressible: sketches, seeded LSH, UDF heuristics, crawl
+    # loop. Ordered cheapest-first so a driver-side time budget always
+    # records a row for every key; the two most expensive (ann_ivf's
+    # centroid step, crawl_superstep's 2-round loop) run last.
+    "lang_id": P.q_lang_id,
+    "bloom_prefilter": P.q_bloom_prefilter,
+    "image_pipeline": P.q_image_pipeline,
+    "multimodal_av": P.q_multimodal_av,
     "approx_distinct": Q.q_approx_distinct,
     "dedup_minhash_lsh": P.q_dedup_minhash_lsh,
     "dedup_simhash": P.q_dedup_simhash,
     "ann_lsh": P.q_ann_lsh,
     "ann_ivf": P.q_ann_ivf,
-    "lang_id": P.q_lang_id,
-    "bloom_prefilter": P.q_bloom_prefilter,
-    "image_pipeline": P.q_image_pipeline,
-    "multimodal_av": P.q_multimodal_av,
     "crawl_superstep": P.q_crawl_superstep,
 }
 

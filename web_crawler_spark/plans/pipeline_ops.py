@@ -14,7 +14,6 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F, types as T
 
-from web_crawler_spark.core import minhash
 from web_crawler_spark.functions.udfs import caption_bands_udf, jaccard3_udf
 
 
@@ -32,20 +31,28 @@ def q_dedup_minhash_lsh(spark, sf):
     """Near-dup text pairs: MinHash(64) → 16 LSH bands → band equi-join →
     exact 3-shingle Jaccard residual ≥ 0.5. The same operator stack the
     crawl engine uses for caption dedup (SURVEY.md A8/J4), applied to
-    documents.text. Scale path: the band join shuffles only
-    (band_idx, band_val) keys, never full text × text."""
-    d = _docs(spark, sf).select("doc_id", "text").withColumn("bands", caption_bands_udf("text"))
-    ex = d.select("doc_id", "text", F.posexplode("bands").alias("band_idx", "band_val"))
-    a = ex.select(F.col("doc_id").alias("a_id"), F.col("text").alias("a_text"), "band_idx", "band_val")
-    b = ex.select(F.col("doc_id").alias("b_id"), F.col("text").alias("b_text"), "band_idx", "band_val")
-    pairs = (
+    documents.text. The band join carries ONLY (doc_id, band_idx,
+    band_val) — document text never enters the ×16 band shuffle; it is
+    joined back for the candidate PAIRS alone (same id-only index shape
+    as the crawl engine's cbands join)."""
+    d = _docs(spark, sf).select("doc_id", "text")
+    ex = (
+        d.withColumn("bands", caption_bands_udf("text"))
+        .select("doc_id", F.posexplode("bands").alias("band_idx", "band_val"))
+    )
+    a = ex.select(F.col("doc_id").alias("a_id"), "band_idx", "band_val")
+    b = ex.select(F.col("doc_id").alias("b_id"), "band_idx", "band_val")
+    cand = (
         a.join(b, ["band_idx", "band_val"])
         .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", "a_text", "b_text")
+        .select("a_id", "b_id")
         .distinct()
     )
+    ta = d.select(F.col("doc_id").alias("a_id"), F.col("text").alias("a_text"))
+    tb = d.select(F.col("doc_id").alias("b_id"), F.col("text").alias("b_text"))
     return (
-        pairs.withColumn("jac", F.round(jaccard3_udf("a_text", "b_text"), 4))
+        cand.join(ta, "a_id").join(tb, "b_id")
+        .withColumn("jac", F.round(jaccard3_udf("a_text", "b_text"), 4))
         .filter(F.col("jac") >= 0.5)
         .select("a_id", "b_id", "jac")
     )
@@ -55,21 +62,26 @@ def q_dedup_minhash_lsh(spark, sf):
 
 @F.pandas_udf(T.LongType())
 def simhash_udf(texts: pd.Series) -> pd.Series:
-    """64-bit SimHash over word unigrams (vectorized per Arrow batch)."""
-    out = np.zeros(len(texts), dtype=np.int64)
-    for i, t in enumerate(texts.fillna("")):
-        words = t.lower().split()
-        if not words:
-            continue
-        hs = np.array([minhash._hash_shingle(w) for w in words], dtype=np.uint64)
-        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
-        acc = (bits * 2 - 1).sum(axis=0)
-        sig = np.uint64(0)
-        for j in range(63):  # 63 bits → stays non-negative in int64
-            if acc[j] > 0:
-                sig |= np.uint64(1) << np.uint64(j)
-        out[i] = np.int64(sig)
-    return pd.Series(out)
+    """63-bit SimHash over word unigrams, fully vectorized per Arrow
+    batch: one pandas explode flattens (row, word), one hash_array call
+    hashes every word (SipHash, C-side, deterministic), bit counting and
+    the per-row sign aggregation are numpy ufunc ops — no per-row Python
+    loop anywhere in the signature path."""
+    s = texts.reset_index(drop=True).fillna("").str.lower().str.split()
+    ex = s.explode().dropna()
+    ex = ex[ex != ""]
+    n = len(texts)
+    if len(ex) == 0:
+        return pd.Series(np.zeros(n, dtype=np.int64))
+    hs = pd.util.hash_array(ex.to_numpy(dtype=object)).astype(np.uint64)
+    rows = ex.index.to_numpy(dtype=np.int64)
+    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int8)
+    contrib = (bits * 2 - 1).astype(np.int32)
+    acc = np.zeros((n, 64), dtype=np.int64)
+    np.add.at(acc, rows, contrib)
+    sigbits = (acc[:, :63] > 0).astype(np.uint64)  # 63 bits → non-negative int64
+    out = (sigbits << np.arange(63, dtype=np.uint64)[None, :]).sum(axis=1)
+    return pd.Series(out.astype(np.int64))
 
 
 def q_dedup_simhash(spark, sf):
@@ -101,9 +113,13 @@ def q_ann_lsh(spark, sf):
 
     @F.pandas_udf(T.IntegerType())
     def hyperplane_bucket(embs: pd.Series) -> pd.Series:
-        rng = np.random.default_rng(20260816)
-        planes = rng.standard_normal((16, 64))
+        if len(embs) == 0:
+            return pd.Series([], dtype="int32")
         m = np.stack([np.asarray(v, dtype=np.float64) for v in embs])
+        # dim derived from the batch (seeded planes are identical across
+        # batches for a given dim — no hardcoded embedding width)
+        rng = np.random.default_rng(20260816)
+        planes = rng.standard_normal((16, m.shape[1]))
         signs = (m @ planes.T) > 0
         return pd.Series((signs * (1 << np.arange(16))).sum(axis=1).astype(np.int32))
 
@@ -123,6 +139,69 @@ def q_ann_lsh(spark, sf):
     return (
         pairs.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 3)
         .select("q_id", "rk", "c_id", "cos", "bucket")
+    )
+
+
+# ----------------------------------------------- embedding near-dup (LSH)
+
+def q_dedup_embedding_cosine(spark, sf):
+    """Embedding-cosine near-dup pairs (round(cos,4) >= 0.98, a_id <
+    b_id) via MULTI-BAND random-hyperplane LSH + exact residual — the
+    scale path for the brute-force SQL oracle twin in queries.py
+    (SQL_DEDUP_EMBEDDING_COSINE): candidates come from an equi-join on
+    (band_idx, 8-bit sign code), so the shuffle carries only
+    (vec_id, band keys), never the O(n²) pair matrix; exact JVM-side
+    cosine then re-checks each candidate pair.
+
+    Recall: cos >= 0.98 → angle θ <= 0.1997 rad → two vectors land on
+    the same side of one hyperplane w.p. 1-θ/π >= 0.936; with 16 bands
+    of 8 planes, P(collide in >= 1 band) >= 1-(1-0.936^8)^16 > 0.999999
+    at the threshold and → 1 as cos → 1 (where near-dups live). The
+    driver's hash-match against the brute-force DuckDB oracle at sf0.01
+    is the no-false-positive evidence; tests/test_embedding_lsh.py
+    plants true near-dup pairs (the testdata embeddings top out at
+    cos ≈ 0.6) and asserts the banded plan returns EXACTLY the
+    brute-force pair set."""
+    return dedup_embedding_cosine_df(_emb(spark, sf).select("vec_id", "embedding"))
+
+
+def dedup_embedding_cosine_df(e, theta: float = 0.98):
+    """The operator over an arbitrary (vec_id, embedding) frame."""
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def band_codes(embs: pd.Series) -> pd.Series:
+        if len(embs) == 0:
+            return pd.Series([], dtype=object)
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in embs])
+        rng = np.random.default_rng(20260818)
+        planes = rng.standard_normal((16 * 8, m.shape[1]))
+        signs = (m @ planes.T) > 0                      # (n, 128)
+        codes = (signs.reshape(len(m), 16, 8) * (1 << np.arange(8))).sum(axis=2)
+        return pd.Series(list(codes.astype(np.int32)))
+
+    ex = (
+        e.withColumn("codes", band_codes("embedding"))
+        .select("vec_id", F.posexplode("codes").alias("band_idx", "code"))
+    )
+    a = ex.select(F.col("vec_id").alias("a_id"), "band_idx", "code")
+    b = ex.select(F.col("vec_id").alias("b_id"), "band_idx", "code")
+    cand = (
+        a.join(b, ["band_idx", "code"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    dbl = lambda col: F.transform(col, lambda x: x.cast("double"))
+    ea = e.select(F.col("vec_id").alias("a_id"), dbl("embedding").alias("a_emb"))
+    eb = e.select(F.col("vec_id").alias("b_id"), dbl("embedding").alias("b_emb"))
+    dot = F.aggregate(F.zip_with(F.col("a_emb"), F.col("b_emb"), lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    norm = lambda c: F.sqrt(F.aggregate(F.col(c), F.lit(0.0), lambda acc, v: acc + v * v))
+    return (
+        cand.join(ea, "a_id").join(eb, "b_id")
+        .withColumn("cos", F.round(dot / (norm("a_emb") * norm("b_emb")), 4))
+        .filter(F.col("cos") >= theta)
+        .select("a_id", "b_id", "cos")
     )
 
 

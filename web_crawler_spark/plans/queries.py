@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F, types as T
 
+from web_crawler_spark.plans.seq import with_global_seq
+
 STOPWORDS = ("the", "a", "key", "value", "row", "table")
 
 
@@ -251,11 +253,21 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') b
 
 
 def q_range_join(spark, sf):
+    """Range join via the BAND trick (SURVEY.md J6): |a_n - b_n| <= 5
+    implies floor(a_n/5) and floor(b_n/5) differ by at most 1, so the
+    probe side explodes to its 3 adjacent bands and the join becomes an
+    equi-join on (lang, band) — each qualifying pair meets on exactly
+    one key (b's own band). No lang-only near-cartesian."""
     d = _t(spark, sf, "documents")
     a = d.select(F.col("doc_id").alias("a_id"), "lang", F.col("n_chars").alias("a_n"))
-    b = d.select(F.col("doc_id").alias("b_id"), "lang", F.col("n_chars").alias("b_n"))
+    b = d.select(F.col("doc_id").alias("b_id"), "lang", F.col("n_chars").alias("b_n"),
+                 F.floor(F.col("n_chars") / 5).alias("band"))
+    probe = a.withColumn(
+        "band",
+        F.explode(F.array(*[F.floor(F.col("a_n") / 5) + F.lit(k) for k in (-1, 0, 1)])),
+    )
     return (
-        a.join(b, "lang")
+        probe.join(b, ["lang", "band"])
         .filter((F.col("a_id") < F.col("b_id"))
                 & (F.col("b_n") >= F.col("a_n") - 5) & (F.col("b_n") <= F.col("a_n") + 5))
         .groupBy("lang")
@@ -417,9 +429,17 @@ QUALIFY rk <= 3
 
 
 def q_global_order(spark, sf):
+    """Global dense sequence without a single-partition window: hour
+    buckets of ts are a monotone coarsening of the (ts, event_id) order,
+    so the two-phase scheme (plans/seq.py) assigns seq fully in
+    parallel — same engine path as the crawl's fetch_seq assignment."""
     e = _t(spark, sf, "events").filter(F.col("event_type") == "click")
-    w = W.orderBy("ts", "event_id")
-    return e.select("event_id", F.row_number().over(w).alias("seq"))
+    e = e.withColumn(
+        "_hb",
+        (F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(3_600_000_000)).cast("long"),
+    )
+    out = with_global_seq(e, ["_hb"], ["ts", "event_id"], "seq", start=1)
+    return out.select("event_id", F.col("seq").cast("int").alias("seq"))
 
 SQL_GLOBAL_ORDER = """
 SELECT event_id, row_number() OVER (ORDER BY ts, event_id) AS seq
@@ -738,27 +758,10 @@ FROM pairs QUALIFY rk <= 5
 """
 
 
-def q_dedup_embedding_cosine(spark, sf):
-    """Embedding-cosine near-dup pairs (cos >= 0.98, a_id < b_id) —
-    all-JVM zip_with/aggregate dot products. This brute-force form is the
-    DuckDB-checkable oracle; the scale path is the LSH-bucketed variant
-    (pipeline_ops.q_ann_lsh / q_ann_ivf), which shuffles only bucket
-    keys instead of the full pair matrix."""
-    e = _t(spark, sf, "embeddings")
-    dbl = lambda col: F.transform(col, lambda x: x.cast("double"))
-    a = e.select(F.col("vec_id").alias("a_id"), dbl("embedding").alias("a_emb"))
-    b = e.select(F.col("vec_id").alias("b_id"), dbl("embedding").alias("b_emb"))
-    dot = F.aggregate(F.zip_with(F.col("a_emb"), F.col("b_emb"), lambda x, y: x * y),
-                      F.lit(0.0), lambda acc, v: acc + v)
-    norm = lambda c: F.sqrt(F.aggregate(F.col(c), F.lit(0.0), lambda acc, v: acc + v * v))
-    return (
-        a.crossJoin(b)
-        .filter(F.col("a_id") < F.col("b_id"))
-        .withColumn("cos", F.round(dot / (norm("a_emb") * norm("b_emb")), 4))
-        .filter(F.col("cos") >= 0.98)
-        .select("a_id", "b_id", "cos")
-    )
-
+# The Spark plan for `dedup_embedding_cosine` is the LSH-bucketed one in
+# pipeline_ops.q_dedup_embedding_cosine (multi-band hyperplane candidates
+# + exact cosine residual — no cross join); only this brute-force SQL
+# remains here as the DuckDB-checkable oracle twin.
 SQL_DEDUP_EMBEDDING_COSINE = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
 SELECT a.vec_id AS a_id, b.vec_id AS b_id,
