@@ -158,23 +158,55 @@ def generate(out_dir: str, n: int = 5000, n_hosts: int = 60, seed: int = 42,
     with open(os.path.join(out_dir, "seeds.txt"), "w") as f:
         f.write("\n".join(seeds) + "\n")
 
-    # --- robots
+    # --- robots (Disallow prefixes + Allow carve-outs, longest-match)
     robots = {}
     dis_draw = rng.random(n_hosts)
     delay_draw = rng.integers(0, 3, size=n_hosts)
     for hid in range(n_hosts):
         host = f"h{hid}.example"
-        disallow = []
-        if hid in (7, 23):
+        disallow, allow = [], []
+        if hid == 7:
+            # fully blocked EXCEPT the /p… section: the Allow carve-out
+            # must out-match the catch-all Disallow (RFC 9309
+            # longest-match; Allow wins ties)
+            disallow, allow = ["/"], ["/p"]
+        elif hid == 23:
             disallow = ["/"]
         elif dis_draw[hid] < 0.10:
             disallow = [f"/p{(hid * 13) % 97}"]
+            if hid % 2 == 0:
+                # carve one subtree back out of the blocked prefix
+                allow = [f"/p{(hid * 13) % 97}/p"]
         robots[host] = {
             "disallow": disallow,
+            "allow": allow,
             "crawl_delay": float([0.0, 1.0, 2.0][int(delay_draw[hid])]),
         }
     with open(os.path.join(out_dir, "robots.json"), "w") as f:
         json.dump(robots, f, indent=0, sort_keys=True)
+
+    # --- sitemaps for a few hosts: depth-0 frontier feed. Each lists up
+    # to 6 of the host's URLs; the first is usually also a seed (the
+    # dedup path) and some land under Disallow (the gating path)
+    sm_dir = os.path.join(out_dir, "sitemaps")
+    os.makedirs(sm_dir, exist_ok=True)
+    sitemap_hosts = []
+    for hid in (1, 5, 7):
+        if hid >= n_hosts:
+            continue
+        host = f"h{hid}.example"
+        urls_h = [urls[i] for i in range(n) if host_ids[i] == hid][:6]
+        if not urls_h:
+            continue
+        sitemap_hosts.append(host)
+        xml = (
+            '<?xml version="1.0" encoding="UTF-8"?>\n'
+            '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+            + "".join(f"  <url><loc>{u}</loc></url>\n" for u in urls_h)
+            + "</urlset>\n"
+        )
+        with open(os.path.join(sm_dir, f"{host}.xml"), "w") as f:
+            f.write(xml)
 
     # same rules as real robots.txt bodies (<host>.txt): the engine
     # parses THESE (sources/robots.py); the oracle reads the json — the
@@ -184,8 +216,11 @@ def generate(out_dir: str, n: int = 5000, n_hosts: int = 60, seed: int = 42,
     for host, rule in robots.items():
         lines = ["# synthetic robots.txt", "User-agent: *"]
         lines += [f"Disallow: {p}" for p in rule["disallow"]] or ["Disallow:"]
+        lines += [f"Allow: {p}" for p in rule["allow"]]
         if rule["crawl_delay"]:
             lines.append(f"Crawl-delay: {rule['crawl_delay']:g}")
+        if host in sitemap_hosts:
+            lines.append(f"Sitemap: http://{host}/sitemap.xml")
         with open(os.path.join(txt_dir, f"{host}.txt"), "w") as f:
             f.write("\n".join(lines) + "\n")
 

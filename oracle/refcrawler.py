@@ -92,7 +92,8 @@ def crawl(fix_dir: str, cfg: CrawlConfig = CrawlConfig()) -> OracleResult:
         return robots.get(host, {}).get("crawl_delay", cfg.default_delay)
 
     def allowed(host: str, path: str) -> bool:
-        return robots_allowed(path, robots.get(host, {}).get("disallow", []))
+        r = robots.get(host, {})
+        return robots_allowed(path, r.get("disallow", []), r.get("allow", []))
 
     seen: set[str] = set()
     frontier: list[dict] = []
@@ -102,8 +103,19 @@ def crawl(fix_dir: str, cfg: CrawlConfig = CrawlConfig()) -> OracleResult:
     log_rows: list[dict] = []
     metric_rows: list[dict] = []
 
-    # --- seeds (file order; part of the contract)
-    seed_canon = canonicalize_series(pd.Series(seeds))
+    # --- seeds (file order), then sitemap URLs as depth-0 discoveries
+    # ordered by (sitemap host, in-file position) — both part of the
+    # enqueue-order contract the engine mirrors (plans/crawl.init_state)
+    enqueue_urls = list(seeds)
+    sm_dir = os.path.join(fix_dir, "sitemaps")
+    if os.path.isdir(sm_dir):
+        from web_crawler_spark.sources.robots import parse_sitemap_xml
+
+        for fn in sorted(os.listdir(sm_dir)):
+            if fn.endswith(".xml"):
+                with open(os.path.join(sm_dir, fn)) as f:
+                    enqueue_urls.extend(parse_sitemap_xml(f.read()))
+    seed_canon = canonicalize_series(pd.Series(enqueue_urls))
     seed_host = host_of_series(seed_canon)
     seed_path = path_of_series(seed_canon)
     for c, h, p in zip(seed_canon, seed_host, seed_path):

@@ -24,5 +24,10 @@ def image_index(image_id: str) -> int:
     return int(image_id.rsplit("-", 1)[1])
 
 
-def robots_allowed(path: str, disallow: list[str]) -> bool:
-    return not any(path.startswith(p) for p in disallow)
+def robots_allowed(path: str, disallow: list[str], allow: list[str] = ()) -> bool:
+    """Longest-match Allow/Disallow selection (RFC 9309 §2.2.2, the
+    behavior Google documents): the most specific matching rule decides;
+    an Allow wins a length tie; no matching rule means allowed."""
+    best_dis = max((len(p) for p in disallow if p and path.startswith(p)), default=-1)
+    best_allow = max((len(p) for p in allow if p and path.startswith(p)), default=-1)
+    return best_dis == -1 or best_allow >= best_dis

@@ -120,7 +120,8 @@ class CrawlEngine:
             with open(os.path.join(fix_dir, "robots.json")) as f:
                 robots = json.load(f)
             self.robots = spark.createDataFrame(
-                [(h, v["disallow"], float(v["crawl_delay"])) for h, v in robots.items()],
+                [(h, v["disallow"], v.get("allow", []), float(v["crawl_delay"]))
+                 for h, v in robots.items()],
                 schema=schemas.ROBOTS,
             )
         self._sketch = None  # broadcast seen-set sketch (cfg.bloom_prefilter)
@@ -165,7 +166,10 @@ class CrawlEngine:
         )
 
     def init_state(self) -> None:
-        """Round -1: seed the frontier + seen set; materialize url_map."""
+        """Round -1: seed the frontier + seen set (seeds.txt in file
+        order, then sitemap URLs as depth-0 discoveries ordered by
+        (sitemap host, in-file position) — SURVEY.md S4); materialize
+        url_map."""
         cfg, spark = self.cfg, self.spark
         url_map = self._url_map()
         self.cat.stage("url_map", url_map.repartition(8, "canon_url"))
@@ -173,25 +177,32 @@ class CrawlEngine:
         with open(os.path.join(self.fix_dir, "seeds.txt")) as f:
             seeds = [l.strip() for l in f if l.strip()]
         seeds_df = spark.createDataFrame(
-            [(u, i) for i, u in enumerate(seeds)], schema="url string, file_pos int"
+            [(u, 0, "", i) for i, u in enumerate(seeds)],
+            schema="url string, phase int, ord_host string, pos int",
         )
+        sm_dir = os.path.join(self.fix_dir, "sitemaps")
+        if os.path.isdir(sm_dir):
+            sm = robots_src.load_sitemaps(spark, sm_dir).select(
+                "url", F.lit(1).alias("phase"),
+                F.col("host").alias("ord_host"), F.col("pos"))
+            seeds_df = seeds_df.unionByName(sm)
         s = (
             seeds_df.withColumn("canon_url", canon_udf("url"))
             .withColumn("host", host_udf("canon_url"))
             .withColumn("path", path_udf("canon_url"))
         )
-        # first occurrence per canonical URL, in file order (oracle contract)
-        w = Window.partitionBy("canon_url").orderBy("file_pos")
+        # first occurrence per canonical URL, in enqueue order (contract)
+        w = Window.partitionBy("canon_url").orderBy("phase", "ord_host", "pos")
         s = s.withColumn("rn", F.row_number().over(w)).filter("rn = 1").drop("rn")
         s = s.join(F.broadcast(self.robots), "host", "left")
         s = s.withColumn(
             "allowed",
-            ~F.exists(F.coalesce("disallow", F.array().cast("array<string>")),
-                      lambda p: F.col("path").startswith(p)),
+            robots_src.allowed_expr(F.col("path"), F.col("disallow"), F.col("allow")),
         )
-        allowed = s.filter("allowed").withColumn(
-            "_sb", (F.col("file_pos") / F.lit(1024)).cast("long"))
-        allowed = with_global_seq(allowed, ["_sb"], ["file_pos"], "discovered_seq")
+        allowed = s.filter("allowed")
+        # (phase, ord_host) buckets are a monotone coarsening of the
+        # (phase, ord_host, pos) enqueue order → parallel assignment
+        allowed = with_global_seq(allowed, ["phase", "ord_host"], ["pos"], "discovered_seq")
         frontier = allowed.select(
             F.col("canon_url"),
             F.xxhash64("canon_url").alias("url_hash"),
@@ -440,11 +451,11 @@ class CrawlEngine:
         else:
             new = first.join(seen_tbl, ["url_hash", "canon_url"], "left_anti")
         new = (
-            new.join(F.broadcast(self.robots.select("host", "disallow")), "host", "left")
+            new.join(F.broadcast(self.robots.select("host", "disallow", "allow")),
+                     "host", "left")
             .withColumn(
                 "allowed",
-                ~F.exists(F.coalesce("disallow", F.array().cast("array<string>")),
-                          lambda p: F.col("path").startswith(p)),
+                robots_src.allowed_expr(F.col("path"), F.col("disallow"), F.col("allow")),
             ).persist()
         )
         # one action for four counts: the agg job's scan of `new` also

@@ -32,6 +32,7 @@ ROBOTS = T.StructType(
     [
         T.StructField("host", T.StringType(), False),
         T.StructField("disallow", T.ArrayType(T.StringType()), False),
+        T.StructField("allow", T.ArrayType(T.StringType()), False),
         T.StructField("crawl_delay", T.DoubleType(), False),
     ]
 )
