@@ -27,6 +27,14 @@ class CrawlConfig:
     seen_sketch: str = "bloom"   # "bloom" | "cuckoo" — cuckoo adds deletion
                                  # (recrawl-window eviction) at the same
                                  # prefilter-exactness contract
+    recrawl_window: int | None = None  # if set, after round r the cohort
+                                       # fetched at round r-window is
+                                       # EVICTED from the seen set
+                                       # (cuckoo sketch deletion + seen
+                                       # compaction) so later link
+                                       # discoveries re-enqueue it —
+                                       # the recrawl semantics the
+                                       # cuckoo backend exists for
     cuckoo_buckets: int = 1 << 15  # ×4 slots; size for load < 0.9.
                                    # MUST be a power of two (cuckoo
                                    # alt-bucket XOR involution; enforced

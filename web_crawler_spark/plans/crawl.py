@@ -559,6 +559,48 @@ class CrawlEngine:
         n_frontier = cat.staged_rowcount("frontier")
         return {"fetched": n_fetched, "frontier": n_frontier, "stopped": n_frontier == 0}
 
+    # ------------------------------------------------------- recrawl window
+    def evict_cohort(self, cohort_round: int) -> dict:
+        """Recrawl-window eviction (north_star: the capability the cuckoo
+        backend exists for): forget every URL FETCHED in `cohort_round` —
+        delete it from the maintained cuckoo sketch (no rebuild; a Bloom
+        bitarray cannot delete, so that backend just drops its sketch and
+        rebuilds lazily from the compacted table) and compact it out of
+        the seen table (catalog.replace → Iceberg overwrite snapshot).
+        Afterward the engine treats those URLs as never seen: later link
+        discoveries re-enqueue them with fresh discovered_seq and they
+        are re-fetched deterministically. At 10^10 scale the same delete
+        runs against per-partition sketches before the driver merge; the
+        seen compaction is already fully distributed.
+
+        Publishes a maintenance snapshot at the current round. Returns
+        {"evicted": n, "sketch_removed": m}."""
+        cohort = (
+            self.cat.read("crawl_log")
+            .filter(F.col("round") == cohort_round)
+            .select("canon_url").distinct()
+            .withColumn("url_hash", F.xxhash64("canon_url"))
+            .persist()
+        )
+        n = cohort.count()
+        removed = 0
+        if n > 0:
+            seen2 = self.cat.read("seen").join(
+                cohort, ["url_hash", "canon_url"], "left_anti")
+            self.cat.replace("seen", seen2, 1)
+            if self._sketch is not None:
+                if self.cfg.seen_sketch == "cuckoo":
+                    import numpy as np
+                    hashes = np.array(
+                        [r["url_hash"] for r in cohort.select("url_hash").collect()],
+                        dtype=np.int64)
+                    removed = self._sketch.delete(hashes)
+                else:
+                    self._sketch = None  # Bloom: rebuild from compacted seen
+            self.cat.commit(self.cat.round, self.cat.counters())
+        cohort.unpersist()
+        return {"evicted": n, "sketch_removed": removed}
+
     # ------------------------------------------------------------ derived
     def images_kept(self) -> DataFrame:
         """Kept image+caption rows — a VIEW over committed tables (the
@@ -585,4 +627,7 @@ class CrawlEngine:
             total += info["fetched"]
             if info["stopped"]:
                 break
+            if (self.cfg.recrawl_window is not None
+                    and r - self.cfg.recrawl_window >= 0):
+                self.evict_cohort(r - self.cfg.recrawl_window)
         return {"rounds": self.cat.round + 1, "fetched_total": total}

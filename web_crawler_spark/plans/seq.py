@@ -11,12 +11,14 @@ assigned fully in parallel:
            shuffle on the bucket key);
   phase 2: per-bucket counts (one aggregate whose output is at most the
            bucket count — a sizing constant, not the data size) are
-           prefix-summed into per-bucket start offsets and broadcast-
-           joined back.
+           packed into ONE sorted array, exclusive-prefix-summed with
+           JVM array expressions (no window at all), and broadcast-
+           joined back as per-bucket start offsets.
 
-The only ordered pass runs over the per-bucket COUNT frame; it is
-partitioned by a literal so the provably-tiny frame never trips
-WindowExec's unpartitioned-window path.
+The prefix pass is O(B²) element additions inside codegen over the
+B-entry count array; callers size B (bucket granularity) in the low
+thousands, where that is microseconds. Nothing in the pipeline ever
+sees an unpartitioned window.
 """
 
 from __future__ import annotations
@@ -42,12 +44,33 @@ def with_global_seq(
     """
     w_in = Window.partitionBy(*bucket_cols).orderBy(*order_cols)
     counts = df.groupBy(*bucket_cols).agg(F.count("*").alias("_bn"))
-    # exclusive prefix sum over <= n_buckets rows (bucket keys are unique
-    # post-groupBy, so the running sum is well-defined without a frame)
-    w_off = Window.partitionBy(F.lit(0)).orderBy(*bucket_cols)
+    # pack the <= B count rows into one sorted array; bucket keys lead
+    # the struct so array_sort orders buckets lexicographically (keys
+    # are unique post-groupBy, _bn never decides)
+    packed = counts.agg(
+        F.array_sort(
+            F.collect_list(F.struct(*[F.col(c) for c in bucket_cols], F.col("_bn")))
+        ).alias("_arr")
+    )
+    # exclusive prefix sum, windowless: element i's offset = sum of the
+    # first i counts (slice is 1-based; transform's index is 0-based)
     offs = (
-        counts.withColumn("_boff", F.sum("_bn").over(w_off) - F.col("_bn"))
-        .drop("_bn")
+        packed.select(
+            F.explode(
+                F.transform(
+                    F.col("_arr"),
+                    lambda x, i: F.struct(
+                        *[x[c].alias(c) for c in bucket_cols],
+                        F.aggregate(
+                            F.slice(F.col("_arr"), F.lit(1), i),
+                            F.lit(0).cast("long"),
+                            lambda acc, y: acc + y["_bn"],
+                        ).alias("_boff"),
+                    ),
+                )
+            ).alias("_s")
+        )
+        .select("_s.*")
     )
     return (
         df.withColumn("_brn", F.row_number().over(w_in))

@@ -105,6 +105,23 @@ class ManifestCatalog:
         w.write.mode("overwrite").parquet(path)
         return v
 
+    def replace(self, name: str, df: DataFrame, partitions: int | None = None) -> int:
+        """Compact/overwrite an APPEND table: write the full frame as one
+        new part; at commit the table's append list collapses to just it
+        (Iceberg overwrite-snapshot semantics). Needed by recrawl-window
+        eviction — the seen set SHRINKS, which appends cannot express."""
+        with self._lock:
+            self._staged_replaces = getattr(self, "_staged_replaces", {})
+            cands = (self.manifest["appends"].get(name, [])
+                     + getattr(self, "_staged_appends", {}).get(name, [])
+                     + ([self._staged_replaces[name]] if name in self._staged_replaces else []))
+            v = (max(cands) + 1) if cands else 0
+            self._staged_replaces[name] = v
+        path = os.path.join(self.tables_dir, name, f"v{v}")
+        w = df.coalesce(partitions) if partitions else df
+        w.write.mode("overwrite").parquet(path)
+        return v
+
     def append_local(self, name: str, table) -> int:
         """Append a small DRIVER-SIDE pyarrow table without launching a
         Spark job — for per-round literal frames (metrics rows, already
@@ -129,6 +146,9 @@ class ManifestCatalog:
         for name, vs in getattr(self, "_staged_appends", {}).items():
             self.manifest["appends"].setdefault(name, []).extend(vs)
         self._staged_appends = {}
+        for name, v in getattr(self, "_staged_replaces", {}).items():
+            self.manifest["appends"][name] = [v]  # compaction wins
+        self._staged_replaces = {}
         self.manifest["round"] = round_no
         self.manifest["counters"] = counters
         tmp = os.path.join(self.run_dir, "manifest.json.tmp")

@@ -30,6 +30,39 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 
+# -- bookkeeping SQL (pure builders so the strings are unit-testable
+# without the Iceberg runtime: tests/test_iceberg_sql.py executes them
+# against DuckDB stand-in tables of the same shape) -----------------------
+
+def sql_rounds_create(rounds_ref: str) -> str:
+    return (
+        f"CREATE TABLE IF NOT EXISTS {rounds_ref} "
+        "(round INT, table_name STRING, snapshot_id BIGINT, counters STRING) "
+        "USING iceberg"
+    )
+
+
+def sql_rounds_latest(rounds_ref: str) -> str:
+    return (
+        f"SELECT table_name, snapshot_id, round, counters FROM {rounds_ref} "
+        f"WHERE round = (SELECT max(round) FROM {rounds_ref})"
+    )
+
+
+def sql_snapshots_latest(snapshots_ref: str) -> str:
+    return (
+        f"SELECT snapshot_id FROM {snapshots_ref} "
+        "ORDER BY committed_at DESC LIMIT 1"
+    )
+
+
+def sql_snapshots_total_records(snapshots_ref: str) -> str:
+    return (
+        f"SELECT summary['total-records'] AS n FROM {snapshots_ref} "
+        "ORDER BY committed_at DESC LIMIT 1"
+    )
+
+
 class IcebergCatalog:
     def __init__(self, spark: SparkSession, namespace: str = "wcs.crawl"):
         self.spark = spark
@@ -43,20 +76,13 @@ class IcebergCatalog:
                 "module docstring). In this sandbox use ManifestCatalog."
             )
         spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {self.ns}")
-        spark.sql(
-            f"CREATE TABLE IF NOT EXISTS {self.ns}.rounds "
-            "(round INT, table_name STRING, snapshot_id BIGINT, counters STRING) "
-            "USING iceberg"
-        )
+        spark.sql(sql_rounds_create(f"{self.ns}.rounds"))
         self._pins: dict[str, int] = {}
         self._load_pins()
 
     # -- round bookkeeping -------------------------------------------------
     def _load_pins(self) -> None:
-        rows = self.spark.sql(
-            f"SELECT table_name, snapshot_id, round, counters FROM {self.ns}.rounds "
-            f"WHERE round = (SELECT max(round) FROM {self.ns}.rounds)"
-        ).collect()
+        rows = self.spark.sql(sql_rounds_latest(f"{self.ns}.rounds")).collect()
         self._pins = {r["table_name"]: r["snapshot_id"] for r in rows}
         self._round = max((r["round"] for r in rows), default=-2)
         self._counters = __import__("json").loads(rows[0]["counters"]) if rows else {}
@@ -88,9 +114,7 @@ class IcebergCatalog:
 
     def staged_rowcount(self, name: str) -> int:
         row = self.spark.sql(
-            f"SELECT summary['total-records'] AS n FROM {self.ns}.{name}.snapshots "
-            "ORDER BY committed_at DESC LIMIT 1"
-        ).first()
+            sql_snapshots_total_records(f"{self.ns}.{name}.snapshots")).first()
         return int(row["n"])
 
     # -- writes (visible to read() only after commit) ----------------------
@@ -109,9 +133,7 @@ class IcebergCatalog:
 
     def _latest_snapshot(self, name: str) -> int:
         row = self.spark.sql(
-            f"SELECT snapshot_id FROM {self.ns}.{name}.snapshots "
-            "ORDER BY committed_at DESC LIMIT 1"
-        ).first()
+            sql_snapshots_latest(f"{self.ns}.{name}.snapshots")).first()
         return int(row["snapshot_id"])
 
     def commit(self, round_no: int, counters: dict) -> None:
