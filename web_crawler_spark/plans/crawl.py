@@ -81,6 +81,18 @@ class _T:
             print(f"      [prof] {self.label}: {time.perf_counter() - self.t0:.2f}s", flush=True)
 
 
+def _obs_val(obs: Observation, key: str, fallback) -> int:
+    """Read an Observation metric, falling back to ``fallback()`` (a
+    count over the already-cached frame — instant) when the observed
+    subtree never executed: AQE's empty-relation propagation can prune
+    the plan below an empty shuffle stage, eliminating the
+    CollectMetrics node, and Observation.get then raises."""
+    try:
+        return int(obs.get[key])
+    except Exception:
+        return int(fallback())
+
+
 def _metrics_arrow(rows: list[tuple]):
     """Per-round metrics rows (already collected — they are at most
     n_buckets+1 tuples) as a pyarrow table matching schemas.METRICS, for
@@ -464,8 +476,8 @@ class CrawlEngine:
         with _T("new.agg"):
             _c = new.agg(F.count("*").alias("n"), F.count_if("allowed").alias("a")).first()
         n_new, n_allowed = int(_c["n"]), int(_c["a"])
-        n_links = int(disc_obs.get["n"])
-        n_fetched = int(fetch_obs.get["n"])
+        n_links = _obs_val(disc_obs, "n", disc.count)
+        n_fetched = _obs_val(fetch_obs, "n", fetched.count)
         if n_fetched == 0:
             for df in (fetched, batch_surv, statused, disc, new):
                 df.unpersist()

@@ -309,10 +309,13 @@ def q_crawl_superstep(spark, sf):
     from web_crawler_spark.config import CrawlConfig
     from web_crawler_spark.plans.crawl import CrawlEngine
 
-    fix = "/tmp/wcs_q_fix_n60"
+    # _v2: fixture gained sitemaps/Allow and the catalog layout merged
+    # the band tables — version the content-addressed cache dirs so a
+    # stale round-1 cache can never be resumed against the new layout
+    fix = "/tmp/wcs_q_fix_n60_v2"
     if not os.path.exists(os.path.join(fix, "corpus.parquet")):
         generate(fix, n=60, n_hosts=8)
-    run = "/tmp/wcs_q_run_n60_k2_r2"
+    run = "/tmp/wcs_q_run_n60_k2_r2_v2"
     cfg = CrawlConfig(per_host_k=2, max_rounds=2)
     eng = CrawlEngine(spark, fix, run, cfg)
     if eng.cat.round < cfg.max_rounds - 1:
