@@ -117,7 +117,31 @@ class CrawlEngine:
         self.spark = spark
         self.fix_dir = fix_dir
         self.cfg = cfg
-        self.cat = ManifestCatalog(spark, run_dir)
+        self.cat = ManifestCatalog(spark, run_dir, table_schemas={
+            "frontier": schemas.FRONTIER,
+            "seen": schemas.SEEN,
+            "host_next": schemas.HOST_NEXT,
+            "crawl_log": schemas.CRAWL_LOG,
+            "bands": schemas.BAND_IDX,
+            "metrics": schemas.METRICS,
+            "url_map": T.StructType([
+                T.StructField("image_id", T.StringType()),
+                T.StructField("canon_url", T.StringType()),
+                T.StructField("host", T.StringType()),
+                T.StructField("path", T.StringType()),
+            ]),
+            "survivors": T.StructType([
+                T.StructField("fetch_seq", T.LongType()),
+                T.StructField("image_id", T.StringType()),
+                T.StructField("w", T.IntegerType()),
+                T.StructField("h", T.IntegerType()),
+                T.StructField("phash", T.LongType()),
+                T.StructField("caption", T.StringType()),
+                T.StructField("content_sha", T.StringType()),
+                T.StructField("bands", T.ArrayType(T.LongType())),
+            ]),
+        })
+        self._ulm = None  # cached url_map frame (static after init)
         self.corpus = spark.read.parquet(os.path.join(fix_dir, "corpus.parquet"))
         self.n_corpus = self.corpus.count()
         txt_dir = os.path.join(fix_dir, "robots_txt")
@@ -231,7 +255,7 @@ class CrawlEngine:
                 "caption string, content_sha string, bands array<bigint>")
         with ThreadPoolExecutor(max_workers=6) as ex:
             futs = [
-                ex.submit(self.cat.stage, "frontier", frontier.repartition(8, "bucket")),
+                ex.submit(self.cat.stage, "frontier", frontier, 8),
                 ex.submit(self.cat.stage, "host_next",
                           spark.createDataFrame([], schemas.HOST_NEXT)),
                 ex.submit(self.cat.append, "seen", seen, 1),
@@ -248,7 +272,13 @@ class CrawlEngine:
 
     # ----------------------------------------------------------------- round
     def run_round(self, r: int) -> dict:
+        with _T(f"round{r}.total"):
+            return self._run_round(r)
+
+    def _run_round(self, r: int) -> dict:
         cfg, spark, cat = self.cfg, self.spark, self.cat
+        _tb = _T("plan.build")
+        _tb.__enter__()
         ctr = cat.counters()
         budget_left = (cfg.global_budget - ctr["budget_spent"]
                        if cfg.global_budget is not None else None)
@@ -271,18 +301,24 @@ class CrawlEngine:
         # two-phase global fetch_seq over (priority, discovered_seq):
         # priority + a range-bucket of discovered_seq is a monotone
         # coarsening of the batch order, so assignment stays parallel
-        # (plans/seq.py) — no single-partition window over the batch
+        # (plans/seq.py) — no single-partition window over the batch.
+        # sel is persisted so the count and row_number branches share
+        # one evaluation of the eligibility subplan.
         db = max(1, int(ctr["next_seq"]) // 4096)
+        sel = sel.withColumn(
+            "_db", (F.col("discovered_seq") / F.lit(db)).cast("long")).persist()
         batch = with_global_seq(
-            sel.withColumn("_db", (F.col("discovered_seq") / F.lit(db)).cast("long")),
-            ["priority", "_db"], ["discovered_seq"],
+            sel, ["priority", "_db"], ["discovered_seq"],
             "fetch_seq", start=int(ctr["next_fetch_seq"]),
         ).drop("_db")
 
         # -- fetch: frontier batch ⋈ url_map ⋈ corpus (the sandbox's HTTP GET)
         # n_fetched rides an Observation on the first deep action below
-        # (new.agg) instead of a dedicated count job per superstep
-        url_map = cat.read("url_map")
+        # (new.agg) instead of a dedicated count job per superstep.
+        # url_map is static after init — read once, cache across rounds
+        if self._ulm is None:
+            self._ulm = cat.read("url_map").persist()
+        url_map = self._ulm
         fetch_obs = Observation(f"fetch_r{r}")
         fetched = (
             batch.join(url_map.select("image_id", "canon_url"), "canon_url", "inner")
@@ -470,6 +506,7 @@ class CrawlEngine:
                 robots_src.allowed_expr(F.col("path"), F.col("disallow"), F.col("allow")),
             ).persist()
         )
+        _tb.__exit__()
         # one action for four counts: the agg job's scan of `new` also
         # materializes the `disc` and `fetched` caches, firing both
         # Observations (no separate count jobs per round)
@@ -479,7 +516,7 @@ class CrawlEngine:
         n_links = _obs_val(disc_obs, "n", disc.count)
         n_fetched = _obs_val(fetch_obs, "n", fetched.count)
         if n_fetched == 0:
-            for df in (fetched, batch_surv, statused, disc, new):
+            for df in (sel, fetched, batch_surv, statused, disc, new):
                 df.unpersist()
             n_frontier = cat.staged_rowcount("frontier")
             return {"fetched": 0, "frontier": n_frontier, "stopped": n_frontier == 0}
@@ -517,14 +554,15 @@ class CrawlEngine:
         # is collected and appended as a literal frame — two fewer deep
         # write-jobs per superstep.
         _is = lambda s: F.count_if(F.col("status") == s)
-        bucket_rows = (
-            statused.groupBy("bucket")
-            .agg(F.count("*").alias("fetched"), _is("kept").alias("kept"),
-                 _is("dup_exact").alias("dup_exact"),
-                 _is("neardup_image").alias("neardup_image"),
-                 _is("neardup_caption").alias("neardup_caption"))
-            .collect()
-        )
+        with _T("metrics.collect"):
+            bucket_rows = (
+                statused.groupBy("bucket")
+                .agg(F.count("*").alias("fetched"), _is("kept").alias("kept"),
+                     _is("dup_exact").alias("dup_exact"),
+                     _is("neardup_image").alias("neardup_image"),
+                     _is("neardup_caption").alias("neardup_caption"))
+                .collect()
+            )
         metrics_add = _metrics_arrow(
             [(r, int(b["bucket"]), int(b["fetched"]), int(b["kept"]),
               int(b["dup_exact"]), int(b["neardup_image"]),
@@ -544,9 +582,13 @@ class CrawlEngine:
             batch_pb.withColumn("kind", F.lit("p"))
             .unionByName(batch_cb.withColumn("kind", F.lit("c")))
         )
+        # frontier lands coalesced (content is what matters; at cluster
+        # scale the stage would bucket-partition by the salted host hash
+        # for co-located reads — locally that extra shuffle per round is
+        # pure overhead)
         with _T("writes.parallel"), ThreadPoolExecutor(max_workers=6) as ex:
             futs = [
-                ex.submit(cat.stage, "frontier", frontier2.repartition(8, "bucket")),
+                ex.submit(cat.stage, "frontier", frontier2, 8),
                 ex.submit(cat.stage, "host_next", host_next2),
                 ex.submit(cat.append, "seen", seen_add, 1),
                 ex.submit(cat.append, "survivors", batch_surv.select(*SURVIVOR_COLS), 1),
@@ -556,6 +598,8 @@ class CrawlEngine:
             for f in futs:
                 f.result()
         cat.append_local("metrics", metrics_add)
+        _tc = _T("commit.etc")
+        _tc.__enter__()
         cat.commit(r, {
             "next_seq": int(ctr["next_seq"] + n_allowed),
             "next_fetch_seq": int(ctr["next_fetch_seq"] + n_fetched),
@@ -565,10 +609,11 @@ class CrawlEngine:
             # fold this round's delta into the sketch (distributed build,
             # driver-side merge — the incremental path at 10^10 scale)
             self._sketch_absorb(seen_add)
-        for df in (fetched, batch_surv, statused, disc, new):
+        for df in (sel, fetched, batch_surv, statused, disc, new):
             df.unpersist()
         # footer-only count of the just-written frontier — no Spark job
         n_frontier = cat.staged_rowcount("frontier")
+        _tc.__exit__()
         return {"fetched": n_fetched, "frontier": n_frontier, "stopped": n_frontier == 0}
 
     # ------------------------------------------------------- recrawl window

@@ -41,6 +41,10 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        # v2 commit algorithm: task outputs move straight to the final
+        # dir (one rename, not two) — the BSP loop writes several small
+        # tables per superstep, so committer latency is on the round path
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
     )
     for k, v in (extra or {}).items():
         b = b.config(k, v)

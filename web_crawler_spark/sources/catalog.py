@@ -28,9 +28,14 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 class ManifestCatalog:
-    def __init__(self, spark: SparkSession, run_dir: str):
+    def __init__(self, spark: SparkSession, run_dir: str,
+                 table_schemas: dict | None = None):
         self.spark = spark
         self.run_dir = run_dir
+        # declared StructTypes per table: reads skip parquet-footer
+        # schema inference (which costs a driver round-trip per read per
+        # round and grows with the append count)
+        self.table_schemas = table_schemas or {}
         self.tables_dir = os.path.join(run_dir, "tables")
         os.makedirs(self.tables_dir, exist_ok=True)
         # stage()/append() are safe to call from concurrent driver threads
@@ -50,12 +55,15 @@ class ManifestCatalog:
         return name in self.manifest["versions"] or name in self.manifest["appends"]
 
     def read(self, name: str) -> DataFrame:
+        reader = self.spark.read
+        if name in self.table_schemas:
+            reader = reader.schema(self.table_schemas[name])
         if name in self.manifest["appends"]:
             parts = [os.path.join(self.tables_dir, name, f"v{v}")
                      for v in self.manifest["appends"][name]]
-            return self.spark.read.parquet(*parts)
+            return reader.parquet(*parts)
         v = self.manifest["versions"][name]
-        return self.spark.read.parquet(os.path.join(self.tables_dir, name, f"v{v}"))
+        return reader.parquet(os.path.join(self.tables_dir, name, f"v{v}"))
 
     def counters(self) -> dict:
         return dict(self.manifest["counters"])
