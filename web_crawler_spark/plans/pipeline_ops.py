@@ -74,11 +74,16 @@ def simhash_udf(texts: pd.Series) -> pd.Series:
     if len(ex) == 0:
         return pd.Series(np.zeros(n, dtype=np.int64))
     hs = pd.util.hash_array(ex.to_numpy(dtype=object)).astype(np.uint64)
-    rows = ex.index.to_numpy(dtype=np.int64)
-    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int8)
-    contrib = (bits * 2 - 1).astype(np.int32)
+    rows = ex.index.to_numpy(dtype=np.int64)  # non-decreasing: explode preserves row order
+    # hash bits via unpackbits (C-side, no 64-wide shift broadcast), then
+    # one reduceat over the contiguous per-row segments (np.add.at is an
+    # order of magnitude slower for this shape)
+    bits = np.unpackbits(hs.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
+    starts = np.flatnonzero(np.r_[True, rows[1:] != rows[:-1]])
+    per_row_bitsum = np.add.reduceat(bits, starts, axis=0, dtype=np.int64)  # (n_seg, 64)
+    seg_len = np.diff(np.r_[starts, len(rows)])
     acc = np.zeros((n, 64), dtype=np.int64)
-    np.add.at(acc, rows, contrib)
+    acc[rows[starts]] = 2 * per_row_bitsum.astype(np.int64) - seg_len[:, None]
     sigbits = (acc[:, :63] > 0).astype(np.uint64)  # 63 bits → non-negative int64
     out = (sigbits << np.arange(63, dtype=np.uint64)[None, :]).sum(axis=1)
     return pd.Series(out.astype(np.int64))
