@@ -74,6 +74,8 @@ _SQL_CHECKED = {
     # Spark side is the LSH-bucketed plan (no cross join); the SQL twin
     # stays brute-force — the hash match doubles as the recall proof
     "dedup_embedding_cosine": (P.q_dedup_embedding_cosine, Q.SQL_DEDUP_EMBEDDING_COSINE),
+    "corpus_clean": (Q.q_corpus_clean, Q.SQL_CORPUS_CLEAN),
+    "embedding_norm": (Q.q_embedding_norm, Q.SQL_EMBEDDING_NORM),
     "percentile_agg": (Q.q_percentile_agg, Q.SQL_PERCENTILE_AGG),
     "string_agg": (Q.q_string_agg, Q.SQL_STRING_AGG),
     "conditional_agg": (Q.q_conditional_agg, Q.SQL_CONDITIONAL_AGG),

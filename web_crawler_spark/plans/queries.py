@@ -681,7 +681,12 @@ def q_ngram_jaccard(spark, sf):
             lambda i: F.concat_ws(" ", F.slice(words, i + 1, 3)),
         )
     )
-    ex = d.select("doc_id", F.explode(sh).alias("shingle"))
+    # shingles join/aggregate on their int64 xxhash64, not the raw
+    # string — the shuffle carries 8-byte keys instead of ~20-byte
+    # text (intersection counts are unchanged short of a 64-bit
+    # collision among a document pair's shingles)
+    ex = (d.select("doc_id", F.explode(sh).alias("sh_str"))
+          .select("doc_id", F.xxhash64("sh_str").alias("shingle")))
     sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = ex.select(F.col("doc_id").alias("a_id"), "shingle")
     b = ex.select(F.col("doc_id").alias("b_id"), "shingle")
@@ -771,6 +776,73 @@ FROM e a CROSS JOIN e b
 WHERE a.vec_id < b.vec_id
   AND round(list_dot_product(a.emb, b.emb)
             / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 4) >= 0.98
+"""
+
+
+def q_corpus_clean(spark, sf):
+    """The composed cleaning pass a training-data pipeline actually
+    runs: quality-score → filter → exact dedup (first-writer-wins per
+    content fingerprint) → per-language corpus stats, as ONE declarative
+    plan so Catalyst fuses scoring+filtering into the scan and the dedup
+    is a single hash shuffle."""
+    d = _t(spark, sf, "documents")
+    words = F.split(F.col("text"), " ")
+    stop = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS)))
+    scored = d.select(
+        "doc_id", "lang", "text", "n_chars",
+        F.size(words).alias("n_words"),
+        (stop / F.greatest(F.size(words), F.lit(1))).alias("stop_ratio"),
+    )
+    filtered = scored.filter((F.col("n_words") >= 5) & (F.col("stop_ratio") <= 0.5))
+    w = W.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = filtered.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+    return deduped.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_words"), 4).alias("avg_words"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+SQL_CORPUS_CLEAN = """
+WITH scored AS (
+  SELECT doc_id, lang, text, n_chars,
+         len(string_split(text, ' ')) AS n_words,
+         len(list_filter(string_split(text, ' '),
+             w -> w IN ('the','a','key','value','row','table')))
+           / greatest(len(string_split(text, ' ')), 1) AS stop_ratio
+  FROM documents
+), filtered AS (
+  SELECT * FROM scored WHERE n_words >= 5 AND stop_ratio <= 0.5
+), deduped AS (
+  SELECT * FROM filtered
+  QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+)
+SELECT lang, count(*) AS n_docs, round(avg(n_words), 4) AS avg_words,
+       sum(n_chars) AS total_chars
+FROM deduped GROUP BY 1
+"""
+
+
+def q_embedding_norm(spark, sf):
+    """L2 normalization over array<float> embeddings, all JVM-side
+    (aggregate/transform) — the standard pre-step before cosine ANN so
+    downstream similarity reduces to a dot product."""
+    e = _t(spark, sf, "embeddings")
+    dbl = F.transform("embedding", lambda x: x.cast("double"))
+    l2 = F.sqrt(F.aggregate(dbl, F.lit(0.0), lambda a, v: a + v * v))
+    return e.select(
+        "vec_id",
+        F.round(l2, 6).alias("l2"),
+        F.round(F.element_at("embedding", 1).cast("double") / l2, 6).alias("u0"),
+        F.round(F.element_at("embedding", 2).cast("double") / l2, 6).alias("u1"),
+    )
+
+SQL_EMBEDDING_NORM = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+SELECT vec_id,
+       round(sqrt(list_dot_product(emb, emb)), 6) AS l2,
+       round(emb[1] / sqrt(list_dot_product(emb, emb)), 6) AS u0,
+       round(emb[2] / sqrt(list_dot_product(emb, emb)), 6) AS u1
+FROM e
 """
 
 
