@@ -159,9 +159,11 @@ def crawl_throughput(spark, n: int = 5000, n_hosts: int = 60,
     # between runs — BENCH/BASELINE.md spin control); a single-shot
     # timing is a lottery. If the first run looks throttled, run once
     # more and report the better window (results are deterministic —
-    # both runs produce the identical crawl).
+    # both runs produce the identical crawl). Skip the retry when the
+    # first run is pathologically slow: the throttle phase is then
+    # minutes long and a second run would only burn the harness budget.
     best = one_run("a")
-    if best["elapsed_sec"] > retry_over:
+    if retry_over < best["elapsed_sec"] < 2.5 * retry_over:
         second = one_run("b")
         best["retried"] = True
         if second["elapsed_sec"] < best["elapsed_sec"]:
