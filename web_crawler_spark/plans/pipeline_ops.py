@@ -36,9 +36,14 @@ def q_dedup_minhash_lsh(spark, sf):
     joined back for the candidate PAIRS alone (same id-only index shape
     as the crawl engine's cbands join)."""
     d = _docs(spark, sf).select("doc_id", "text")
+    # the band index is persisted so the MinHash signature UDF runs ONCE
+    # (both self-join sides read the cache; Spark does not reuse the
+    # exchange because per-side column pruning splits the subtrees) —
+    # the in-memory twin of the crawl engine's committed cbands table
     ex = (
         d.withColumn("bands", caption_bands_udf("text"))
         .select("doc_id", F.posexplode("bands").alias("band_idx", "band_val"))
+        .persist()
     )
     a = ex.select(F.col("doc_id").alias("a_id"), "band_idx", "band_val")
     b = ex.select(F.col("doc_id").alias("b_id"), "band_idx", "band_val")
@@ -94,7 +99,8 @@ def q_dedup_simhash(spark, sf):
     verification via bit_count(xor) — all JVM-side after the signature."""
     d = _docs(spark, sf).select("doc_id", "text").withColumn("sh", simhash_udf("text"))
     bands = F.array(*[F.shiftrightunsigned("sh", s).bitwiseAND(F.lit(0xFFFF)) for s in (0, 16, 32, 48)])
-    ex = d.select("doc_id", "sh", F.posexplode(bands).alias("band_idx", "band_val"))
+    # persisted so the signature UDF runs once, not once per join side
+    ex = d.select("doc_id", "sh", F.posexplode(bands).alias("band_idx", "band_val")).persist()
     a = ex.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("a_sh"), "band_idx", "band_val")
     b = ex.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("b_sh"), "band_idx", "band_val")
     return (
@@ -128,7 +134,7 @@ def q_ann_lsh(spark, sf):
         signs = (m @ planes.T) > 0
         return pd.Series((signs * (1 << np.arange(16))).sum(axis=1).astype(np.int32))
 
-    b = e.withColumn("bucket", hyperplane_bucket("embedding"))
+    b = e.withColumn("bucket", hyperplane_bucket("embedding")).persist()
     a_side = b.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"), "bucket")
     c_side = b.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"), "bucket")
     dbl = lambda col: F.transform(col, lambda x: x.cast("double"))
@@ -187,6 +193,7 @@ def dedup_embedding_cosine_df(e, theta: float = 0.98):
     ex = (
         e.withColumn("codes", band_codes("embedding"))
         .select("vec_id", F.posexplode("codes").alias("band_idx", "code"))
+        .persist()  # hyperplane UDF runs once, not once per join side
     )
     a = ex.select(F.col("vec_id").alias("a_id"), "band_idx", "code")
     b = ex.select(F.col("vec_id").alias("b_id"), "band_idx", "code")
