@@ -53,6 +53,18 @@ def test_evicted_urls_are_recrawled(evicted_run):
         assert rounds[0] <= 2 and rounds[-1] >= 3
 
 
+def test_recrawl_summary_report(evicted_run):
+    from web_crawler_spark.plans import reports
+
+    eng, _ = evicted_run
+    rows = reports.recrawl_summary(eng.cat).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["n_fetches"] >= 2
+        assert r["first_round"] < r["last_round"]
+        assert len(r["statuses"]) == r["n_fetches"]
+
+
 def test_recrawl_is_deterministic(spark, fix_dir, tmp_path_factory, evicted_run):
     eng1, _ = evicted_run
     run2 = str(tmp_path_factory.mktemp("recrawl2"))

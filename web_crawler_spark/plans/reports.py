@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from web_crawler_spark.plans.seq import with_running_total
+
 
 def politeness_audit(cat, robots: DataFrame, default_delay: float = 1.0) -> DataFrame:
     """Per-host proof that the politeness budget held: the gap between
@@ -49,14 +51,12 @@ def dedup_rates(cat) -> DataFrame:
                ("fetched", "kept", "dup_exact", "neardup_image",
                 "neardup_caption", "rejected_robots", "rejected_seen")])
     )
-    w = W.orderBy("round").rowsBetween(W.unboundedPreceding, W.currentRow)
-    return (
-        m.withColumn("kept_rate",
-                     F.when(F.col("fetched") > 0,
-                            F.round(F.col("kept") / F.col("fetched"), 4)))
-        .withColumn("cum_kept", F.sum("kept").over(w))
-        .orderBy("round")
+    m = m.withColumn(
+        "kept_rate",
+        F.when(F.col("fetched") > 0, F.round(F.col("kept") / F.col("fetched"), 4)),
     )
+    # windowless running total (plans/seq.py) — no unpartitioned window
+    return with_running_total(m, "round", "kept", "cum_kept").orderBy("round")
 
 
 def host_summary(cat, top_n: int = 20) -> DataFrame:
@@ -86,6 +86,25 @@ def frontier_depth_histogram(cat) -> DataFrame:
              F.max("ready_round").alias("max_ready"),
              F.approx_count_distinct("host").alias("n_hosts"))
         .orderBy("priority")
+    )
+
+
+def recrawl_summary(cat) -> DataFrame:
+    """Recrawl-window audit: URLs fetched more than once (after
+    evict_cohort retired their cohort), with first/last fetch round and
+    status transitions — the operator view of the eviction semantics."""
+    log = cat.read("crawl_log")
+    return (
+        log.groupBy("canon_url", "host").agg(
+            F.count("*").alias("n_fetches"),
+            F.min("round").alias("first_round"),
+            F.max("round").alias("last_round"),
+            F.array_sort(F.collect_list(F.struct("fetch_seq", "status"))).alias("_ss"),
+        )
+        .filter(F.col("n_fetches") >= 2)
+        .withColumn("statuses", F.transform("_ss", lambda s: s["status"]))
+        .drop("_ss")
+        .orderBy("first_round", "canon_url")
     )
 
 

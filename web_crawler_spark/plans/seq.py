@@ -27,6 +27,43 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def with_running_total(
+    df: DataFrame,
+    order_col: str,
+    val_col: str,
+    out_col: str,
+) -> DataFrame:
+    """Inclusive prefix sum of ``val_col`` over rows ordered by the
+    unique ``order_col`` — windowless (same packed-array fold as the
+    offset pass below), for small keyed frames like per-round metric
+    rollups where an unpartitioned running-sum window would be the lazy
+    choice."""
+    packed = df.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col(order_col), F.col(val_col).alias("_v")))
+        ).alias("_arr")
+    )
+    sums = (
+        packed.select(
+            F.explode(
+                F.transform(
+                    F.col("_arr"),
+                    lambda x, i: F.struct(
+                        x[order_col].alias(order_col),
+                        F.aggregate(
+                            F.slice(F.col("_arr"), F.lit(1), i + 1),
+                            F.lit(0).cast("long"),
+                            lambda acc, y: acc + y["_v"],
+                        ).alias(out_col),
+                    ),
+                )
+            ).alias("_s")
+        )
+        .select("_s.*")
+    )
+    return df.join(F.broadcast(sums), order_col)
+
+
 def with_global_seq(
     df: DataFrame,
     bucket_cols: list[str],
