@@ -94,16 +94,25 @@ def stateful_seen_filter_stream(
     schema = spark.read.parquet(urls_dir).schema  # url_hash long, canon_url string
 
     def dedup(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
-        seen = set(state.get[0].split(",")) if state.exists and state.get[0] else set()
+        # state = BINARY-packed int64 hash array (8 bytes/URL, zero
+        # parsing) — membership and in-batch first-occurrence are
+        # vectorized numpy ops, no per-row Python. The value-state API
+        # still rewrites the whole blob per micro-batch per key; the
+        # per-key MapState that removes even that is the TWS variant
+        # below (stateful_seen_filter_tws, protobuf-gated here).
+        import numpy as np
+
+        seen = (np.frombuffer(state.get[0], dtype=np.int64)
+                if state.exists and state.get[0] else np.empty(0, np.int64))
         out = []
         for pdf in pdfs:
-            for h, u in zip(pdf["url_hash"], pdf["canon_url"]):
-                hs = str(int(h))
-                if hs not in seen:
-                    seen.add(hs)
-                    out.append((int(h), u))
-        state.update((",".join(sorted(seen)),))
-        yield pd.DataFrame(out, columns=["url_hash", "canon_url"])
+            h = pdf["url_hash"].to_numpy(np.int64)
+            fresh = ~pd.Series(h).duplicated().to_numpy() & ~np.isin(h, seen)
+            out.append(pdf.loc[fresh, ["url_hash", "canon_url"]])
+            seen = np.concatenate([seen, h[fresh]])
+        state.update((seen.tobytes(),))
+        yield pd.concat(out) if out else pd.DataFrame(
+            columns=["url_hash", "canon_url"])
 
     result = (
         _stream_parquet(spark, urls_dir, schema)
@@ -112,7 +121,7 @@ def stateful_seen_filter_stream(
         .applyInPandasWithState(
             dedup,
             outputStructType="url_hash long, canon_url string",
-            stateStructType="seen string",
+            stateStructType="seen binary",
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
