@@ -18,7 +18,8 @@ SAMPLE = [
     "session_window", "metrics_rollup", "bitmap_distinct", "pivot",
     "ngram_jaccard", "embedding_cosine_topk", "lag_gap", "dedup_exact",
     "dedup_embedding_cosine", "percentile_agg", "string_agg",
-    "conditional_agg", "regexp_count",
+    "conditional_agg", "regexp_count", "corpus_clean", "embedding_norm",
+    "range_join", "global_order",
 ]
 
 
