@@ -554,7 +554,11 @@ class CrawlEngine:
         # is collected and appended as a literal frame — two fewer deep
         # write-jobs per superstep.
         _is = lambda s: F.count_if(F.col("status") == s)
-        with _T("metrics.collect"):
+
+        def _collect_and_append_metrics():
+            # runs inside the parallel write pool: the per-bucket agg is
+            # a small job over the CACHED statused rows, and the append
+            # is a driver-side literal write — overlaps the table writes
             bucket_rows = (
                 statused.groupBy("bucket")
                 .agg(F.count("*").alias("fetched"), _is("kept").alias("kept"),
@@ -563,12 +567,13 @@ class CrawlEngine:
                      _is("neardup_caption").alias("neardup_caption"))
                 .collect()
             )
-        metrics_add = _metrics_arrow(
-            [(r, int(b["bucket"]), int(b["fetched"]), int(b["kept"]),
-              int(b["dup_exact"]), int(b["neardup_image"]),
-              int(b["neardup_caption"]), 0, 0) for b in bucket_rows]
-            + [(r, -1, 0, 0, 0, 0, 0, int(n_new - n_allowed), int(n_links - n_new))],
-        )
+            cat.append_local("metrics", _metrics_arrow(
+                [(r, int(b["bucket"]), int(b["fetched"]), int(b["kept"]),
+                  int(b["dup_exact"]), int(b["neardup_image"]),
+                  int(b["neardup_caption"]), 0, 0) for b in bucket_rows]
+                + [(r, -1, 0, 0, 0, 0, 0,
+                    int(n_new - n_allowed), int(n_links - n_new))],
+            ))
 
         # -- snapshot commit (atomic; resume point). State deltas go through
         # append-only tables (Iceberg append semantics — no rewrite
@@ -586,7 +591,7 @@ class CrawlEngine:
         # scale the stage would bucket-partition by the salted host hash
         # for co-located reads — locally that extra shuffle per round is
         # pure overhead)
-        with _T("writes.parallel"), ThreadPoolExecutor(max_workers=6) as ex:
+        with _T("writes.parallel"), ThreadPoolExecutor(max_workers=7) as ex:
             futs = [
                 ex.submit(cat.stage, "frontier", frontier2, 8),
                 ex.submit(cat.stage, "host_next", host_next2),
@@ -594,10 +599,10 @@ class CrawlEngine:
                 ex.submit(cat.append, "survivors", batch_surv.select(*SURVIVOR_COLS), 1),
                 ex.submit(cat.append, "bands", bands_add, 1),
                 ex.submit(cat.append, "crawl_log", log_add, 1),
+                ex.submit(_collect_and_append_metrics),
             ]
             for f in futs:
                 f.result()
-        cat.append_local("metrics", metrics_add)
         _tc = _T("commit.etc")
         _tc.__enter__()
         cat.commit(r, {
