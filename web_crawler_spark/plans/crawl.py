@@ -37,7 +37,6 @@ Scale design (10^10-URL frontier; sandbox runs are scaled down):
 from __future__ import annotations
 
 import json
-import math
 import os
 from concurrent.futures import ThreadPoolExecutor
 

@@ -15,7 +15,7 @@ Column names are aliased identically on both sides (driver contract).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W
-from pyspark.sql import functions as F, types as T
+from pyspark.sql import functions as F
 
 from web_crawler_spark.plans.seq import with_global_seq
 
