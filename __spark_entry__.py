@@ -64,6 +64,10 @@ _SQL_CHECKED = {
     "except_op": (Q.q_except_op, Q.SQL_EXCEPT_OP),
     "intersect_op": (Q.q_intersect_op, Q.SQL_INTERSECT_OP),
     "pivot": (Q.q_pivot, Q.SQL_PIVOT),
+    "unpivot": (Q.q_unpivot, Q.SQL_UNPIVOT),
+    "array_functions": (Q.q_array_functions, Q.SQL_ARRAY_FUNCTIONS),
+    "percent_rank": (Q.q_percent_rank, Q.SQL_PERCENT_RANK),
+    "date_arith": (Q.q_date_arith, Q.SQL_DATE_ARITH),
     # training-data pipeline (SQL-expressible part)
     "dedup_exact": (Q.q_dedup_exact, Q.SQL_DEDUP_EXACT),
     "doc_fingerprint": (Q.q_doc_fingerprint, Q.SQL_DOC_FINGERPRINT),

@@ -602,6 +602,101 @@ FROM lineitem GROUP BY 1
 """
 
 
+def q_unpivot(spark, sf):
+    """UNPIVOT/melt: wide per-row measures → long (measure, value) rows
+    — the inverse of pivot, a one-pass Expand (no shuffle until agg)."""
+    li = _t(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax")
+    melted = li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_discount", "l_tax"],
+        "measure", "value",
+    )
+    return melted.groupBy("measure").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total"))
+
+SQL_UNPIVOT = """
+SELECT measure, count(*) AS n, round(sum(value), 4) AS total
+FROM (
+  SELECT l_orderkey, l_linenumber, measure, value
+  FROM lineitem
+  UNPIVOT (value FOR measure IN (l_quantity, l_discount, l_tax))
+) GROUP BY 1
+"""
+
+
+def q_array_functions(spark, sf):
+    """Array algebra over the tokenized text: distinct/sort/intersect
+    with the stopword list, slicing — the collection surface a document
+    pipeline leans on."""
+    d = _t(spark, sf, "documents")
+    words = F.split(F.col("text"), " ")
+    stop = F.array(*[F.lit(w) for w in STOPWORDS])
+    return d.select(
+        "doc_id",
+        F.size(F.array_distinct(words)).alias("n_distinct_words"),
+        F.size(F.array_intersect(F.array_distinct(words), stop)).alias("n_stop_kinds"),
+        F.array_join(F.slice(F.array_sort(F.array_distinct(words)), 1, 3), ",").alias("first3"),
+        F.element_at(words, 1).alias("w0"),
+        F.element_at(words, -1).alias("w_last"),
+    )
+
+SQL_ARRAY_FUNCTIONS = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+SELECT doc_id,
+       len(list_distinct(words)) AS n_distinct_words,
+       len(list_intersect(list_distinct(words),
+           ['the','a','key','value','row','table'])) AS n_stop_kinds,
+       array_to_string(list_sort(list_distinct(words))[1:3], ',') AS first3,
+       words[1] AS w0,
+       words[-1] AS w_last
+FROM t
+"""
+
+
+def q_percent_rank(spark, sf):
+    """Distribution-rank windows (percent_rank / cume_dist) per group."""
+    o = _t(spark, sf, "orders")
+    w = W.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey", "o_orderstatus",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
+
+SQL_PERCENT_RANK = """
+SELECT o_orderkey, o_orderstatus,
+       round(percent_rank() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey), 6) AS pr,
+       round(cume_dist() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey), 6) AS cd
+FROM orders
+"""
+
+
+def q_date_arith(spark, sf):
+    """Date arithmetic: order→ship latency (join), add/last_day,
+    day-of-week bucketing."""
+    li = _t(spark, sf, "lineitem").filter(F.col("l_linenumber") == 1)
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    j = li.join(o, li.l_orderkey == o.o_orderkey, "inner")
+    return j.select(
+        "l_orderkey",
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias("order_to_ship_days"),
+        F.date_add(F.col("l_shipdate").cast("date"), 30).alias("ship_plus_30"),
+        F.dayofweek("l_shipdate").alias("ship_dow"),
+        F.last_day("l_shipdate").alias("ship_month_end"),
+    )
+
+SQL_DATE_ARITH = """
+SELECT l_orderkey,
+       date_diff('day', o_orderdate::DATE, l_shipdate::DATE) AS order_to_ship_days,
+       (l_shipdate::DATE + INTERVAL 30 DAY)::DATE AS ship_plus_30,
+       dayofweek(l_shipdate) + 1 AS ship_dow,
+       last_day(l_shipdate::DATE) AS ship_month_end
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_linenumber = 1
+"""
+
+
 # ================================= training-data pipeline: dedup / text ops
 
 def q_dedup_exact(spark, sf):
