@@ -111,10 +111,16 @@ def crawl(fix_dir: str, cfg: CrawlConfig = CrawlConfig()) -> OracleResult:
     if os.path.isdir(sm_dir):
         from web_crawler_spark.sources.robots import parse_sitemap_xml
 
-        for fn in sorted(os.listdir(sm_dir)):
-            if fn.endswith(".xml"):
-                with open(os.path.join(sm_dir, fn)) as f:
-                    enqueue_urls.extend(parse_sitemap_xml(f.read()))
+        # sort by the host STEM, not the '<host>.xml' filename — the
+        # engine orders sitemap rows by (host, pos), and 'foo.co.xml' vs
+        # 'foo.co-op.example.xml' sort differently once '.xml' is glued on
+        # ('-' 0x2D < '.' 0x2E)
+        for fn in sorted(
+            (f for f in os.listdir(sm_dir) if f.endswith(".xml")),
+            key=lambda f: f[:-4],
+        ):
+            with open(os.path.join(sm_dir, fn)) as f:
+                enqueue_urls.extend(parse_sitemap_xml(f.read()))
     seed_canon = canonicalize_series(pd.Series(enqueue_urls))
     seed_host = host_of_series(seed_canon)
     seed_path = path_of_series(seed_canon)

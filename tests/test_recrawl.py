@@ -74,6 +74,35 @@ def test_recrawl_is_deterministic(spark, fix_dir, tmp_path_factory, evicted_run)
     assert a.equals(b)
 
 
+def test_eviction_survives_crash_before_evict(spark, fix_dir, tmp_path_factory):
+    """Crash window: round r commits, process dies BEFORE the due
+    eviction runs. On resume, run() must replay the missed eviction
+    (last_evicted marker catch-up) so the interrupted run converges to
+    the uninterrupted run bit-for-bit."""
+    cfg = CrawlConfig(per_host_k=2, max_rounds=6, seen_sketch="cuckoo",
+                      bloom_prefilter=True, recrawl_window=3)
+    dir_a = str(tmp_path_factory.mktemp("recrawl_uninterrupted"))
+    eng_a = CrawlEngine(spark, fix_dir, dir_a, cfg)
+    eng_a.run()
+
+    dir_b = str(tmp_path_factory.mktemp("recrawl_crashed"))
+    eng_b = CrawlEngine(spark, fix_dir, dir_b, cfg)
+    eng_b.init_state()
+    for r in range(4):
+        eng_b.run_round(r)  # commit(3) lands; the due evict_cohort(0) does NOT
+    assert int(eng_b.cat.counters().get("last_evicted", -1)) == -1
+    eng_b2 = CrawlEngine(spark, fix_dir, dir_b, cfg)  # "restart"
+    eng_b2.run()
+    assert int(eng_b2.cat.counters().get("last_evicted", -1)) >= 0
+
+    a = eng_a.cat.read("crawl_log").orderBy("fetch_seq").toPandas()
+    b = eng_b2.cat.read("crawl_log").orderBy("fetch_seq").toPandas()
+    assert a.equals(b)
+    sa = sorted(r["canon_url"] for r in eng_a.cat.read("seen").collect())
+    sb = sorted(r["canon_url"] for r in eng_b2.cat.read("seen").collect())
+    assert sa == sb
+
+
 def test_run_loop_wires_recrawl_window(spark, fix_dir, tmp_path_factory):
     cfg = CrawlConfig(per_host_k=2, max_rounds=6, seen_sketch="cuckoo",
                       bloom_prefilter=True, recrawl_window=3)

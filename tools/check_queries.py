@@ -43,6 +43,17 @@ def compare(spdf: pd.DataFrame, dkdf: pd.DataFrame, name: str) -> list[str]:
     if len(a) == len(b):
         for c in sp_cols:
             av, bv = a[c], b[c]
+            # The driver's value-hash stringifies each cell, so an
+            # int64-vs-float64 split (e.g. Spark BIGINT vs DuckDB
+            # HUGEINT->float64) renders 19525 vs 19525.0 and fails there
+            # even when values match. Flag it here instead of masking it
+            # with float tolerance.
+            if {av.dtype.kind, bv.dtype.kind} == {"i", "f"}:
+                problems.append(
+                    f"col {c}: dtype split spark={av.dtype} duck={bv.dtype} "
+                    "(driver hash would fail; CAST the oracle side)"
+                )
+                continue
             if av.dtype.kind == "f" or bv.dtype.kind == "f":
                 bad = ~(
                     (av.isna() & bv.isna())

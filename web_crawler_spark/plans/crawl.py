@@ -605,6 +605,7 @@ class CrawlEngine:
         _tc = _T("commit.etc")
         _tc.__enter__()
         cat.commit(r, {
+            **ctr,  # carry forward maintenance markers (e.g. last_evicted)
             "next_seq": int(ctr["next_seq"] + n_allowed),
             "next_fetch_seq": int(ctr["next_fetch_seq"] + n_fetched),
             "budget_spent": int(ctr["budget_spent"] + n_fetched),
@@ -658,9 +659,26 @@ class CrawlEngine:
                     removed = self._sketch.delete(hashes)
                 else:
                     self._sketch = None  # Bloom: rebuild from compacted seen
-            self.cat.commit(self.cat.round, self.cat.counters())
+        # commit even when the cohort is empty: the last_evicted marker is
+        # what makes recrawl resume-safe (a crash between round commit and
+        # eviction must not skip the cohort forever), and an empty-cohort
+        # commit is a manifest write only — no Spark job
+        ctr = self.cat.counters()
+        ctr["last_evicted"] = max(int(ctr.get("last_evicted", -1)), cohort_round)
+        self.cat.commit(self.cat.round, ctr)
         cohort.unpersist()
         return {"evicted": n, "sketch_removed": removed}
+
+    def _evict_due(self, through_round: int) -> None:
+        """Evict every cohort whose recrawl window has expired as of
+        `through_round`, skipping those already marked done — called
+        after each round AND once on resume, so a crash between a round's
+        commit and its eviction replays the eviction instead of losing
+        it (deterministic recrawl across restarts)."""
+        last = int(self.cat.counters().get("last_evicted", -1))
+        due = through_round - self.cfg.recrawl_window
+        for c in range(max(last + 1, 0), due + 1):
+            self.evict_cohort(c)
 
     # ------------------------------------------------------------ derived
     def images_kept(self) -> DataFrame:
@@ -683,12 +701,15 @@ class CrawlEngine:
             self.init_state()
         start = self.cat.round + 1
         total = 0
+        if self.cfg.recrawl_window is not None and start > 0:
+            # resume catch-up: evictions due after the last committed
+            # round but lost to a crash before they ran
+            self._evict_due(start - 1)
         for r in range(start, self.cfg.max_rounds):
             info = self.run_round(r)
             total += info["fetched"]
             if info["stopped"]:
                 break
-            if (self.cfg.recrawl_window is not None
-                    and r - self.cfg.recrawl_window >= 0):
-                self.evict_cohort(r - self.cfg.recrawl_window)
+            if self.cfg.recrawl_window is not None:
+                self._evict_due(r)
         return {"rounds": self.cat.round + 1, "fetched_total": total}

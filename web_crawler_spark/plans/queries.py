@@ -912,7 +912,7 @@ WITH scored AS (
   QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
 )
 SELECT lang, count(*) AS n_docs, round(avg(n_words), 4) AS avg_words,
-       sum(n_chars) AS total_chars
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM deduped GROUP BY 1
 """
 

@@ -105,13 +105,22 @@ class ManifestCatalog:
         with self._lock:
             self._staged_appends = getattr(self, "_staged_appends", {})
             staged = self._staged_appends
-            prior = self.manifest["appends"].get(name, [])
-            v = (max(prior + staged.get(name, [])) + 1) if (prior or staged.get(name)) else 0
+            v = self._next_part_version(name, staged)
             staged.setdefault(name, []).append(v)
         path = os.path.join(self.tables_dir, name, f"v{v}")
         w = df.coalesce(partitions) if partitions else df
         w.write.mode("overwrite").parquet(path)
         return v
+
+    def _next_part_version(self, name: str, staged: dict) -> int:
+        """Next free part version for an append table, counting committed
+        parts, staged appends AND any staged replace — a replace followed
+        by an append in the same commit window must not reuse v."""
+        repl = getattr(self, "_staged_replaces", {}).get(name)
+        cands = (self.manifest["appends"].get(name, [])
+                 + staged.get(name, [])
+                 + ([repl] if repl is not None else []))
+        return (max(cands) + 1) if cands else 0
 
     def replace(self, name: str, df: DataFrame, partitions: int | None = None) -> int:
         """Compact/overwrite an APPEND table: write the full frame as one
@@ -140,8 +149,7 @@ class ManifestCatalog:
         with self._lock:
             self._staged_appends = getattr(self, "_staged_appends", {})
             staged = self._staged_appends
-            prior = self.manifest["appends"].get(name, [])
-            v = (max(prior + staged.get(name, [])) + 1) if (prior or staged.get(name)) else 0
+            v = self._next_part_version(name, staged)
             staged.setdefault(name, []).append(v)
         path = os.path.join(self.tables_dir, name, f"v{v}")
         os.makedirs(path, exist_ok=True)

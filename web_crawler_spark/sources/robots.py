@@ -73,9 +73,11 @@ def parse_robots_txt(text: str, agent: str = "wcs-crawler") -> dict:
             except ValueError:
                 pass
         elif key == "sitemap":
-            # sitemap lines are global, not group-scoped (RFC 9309 §2.3)
+            # sitemap lines are global, not group-scoped (RFC 9309 §2.3);
+            # use the comment-stripped, case-preserved val (a trailing
+            # "# note" must not ride along into the URL)
             if val:
-                sitemaps.append(raw.partition(":")[2].strip())
+                sitemaps.append(val)
     flush()
 
     agent = agent.lower()
