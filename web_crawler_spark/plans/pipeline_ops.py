@@ -176,6 +176,21 @@ def q_dedup_embedding_cosine(spark, sf):
     return dedup_embedding_cosine_df(_emb(spark, sf).select("vec_id", "embedding"))
 
 
+def q_dedup_embedding_cosine_driver(spark, sf):
+    """Driver-row variant with PLANTED exact duplicates: the sf testdata
+    tops out at cos ≈ 0.51, so at the operator's θ=0.98 the driver
+    hash-match would pass vacuously (0 rows both sides). Deterministically
+    re-inserting every 97th vector under vec_id+1000000 creates 6 true
+    cos=1.0 pairs that the LSH plan MUST find (identical vectors share
+    every band code, so recall is exactly 1 — no LSH luck involved); the
+    DuckDB twin plants the same rows, so the hash-match now exercises
+    real pairs end-to-end. Operator default (no plants) unchanged."""
+    e = _emb(spark, sf).select("vec_id", "embedding")
+    plants = (e.filter(F.col("vec_id") % 97 == 0)
+               .withColumn("vec_id", F.col("vec_id") + F.lit(1000000)))
+    return dedup_embedding_cosine_df(e.unionByName(plants))
+
+
 def dedup_embedding_cosine_df(e, theta: float = 0.98):
     """The operator over an arbitrary (vec_id, embedding) frame."""
 

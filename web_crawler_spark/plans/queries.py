@@ -59,6 +59,9 @@ FROM part GROUP BY 1
 
 
 def q_string_functions(spark, sf):
+    """String surface + JVM regexp_count (absorbs the former
+    `regexp_count` registry key — one driver row per scalar family; the
+    documents-side regexp_count op keeps its own fn q_regexp_count)."""
     return _t(spark, sf, "part").select(
         "p_partkey",
         F.upper("p_brand").alias("brand_u"),
@@ -66,30 +69,45 @@ def q_string_functions(spark, sf):
         F.length("p_name").alias("name_len"),
         F.regexp_replace("p_name", " ", "_").alias("name_us"),
         F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.regexp_count("p_name", F.lit("[aeiou]")).alias("n_vowels"),
+        F.regexp_count("p_type", F.lit("[A-Z]+")).alias("n_caps_runs"),
     )
 
 SQL_STRING_FUNCTIONS = """
 SELECT p_partkey, upper(p_brand) AS brand_u, substring(p_name, 1, 5) AS name5,
        length(p_name) AS name_len, regexp_replace(p_name, ' ', '_', 'g') AS name_us,
-       concat_ws('|', p_brand, p_type) AS brand_type
+       concat_ws('|', p_brand, p_type) AS brand_type,
+       len(regexp_extract_all(p_name, '[aeiou]')) AS n_vowels,
+       len(regexp_extract_all(p_type, '[A-Z]+')) AS n_caps_runs
 FROM part
 """
 
 
 def q_datetime_functions(spark, sf):
-    return (
-        _t(spark, sf, "orders")
-        .select(
-            F.year("o_orderdate").alias("yr"),
-            F.month("o_orderdate").alias("mo"),
-        )
-        .groupBy("yr", "mo")
-        .agg(F.count("*").alias("n_orders"))
+    """Date/time surface in one driver row (absorbs the former
+    `date_arith` key): extract (year/month/dayofweek), arithmetic
+    (datediff/date_add/last_day) over the order->ship join."""
+    li = _t(spark, sf, "lineitem").filter(F.col("l_linenumber") == 1)
+    o = _t(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    j = li.join(o, li.l_orderkey == o.o_orderkey, "inner")
+    return j.select(
+        "l_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias("order_to_ship_days"),
+        F.date_add(F.col("l_shipdate").cast("date"), 30).alias("ship_plus_30"),
+        F.dayofweek("l_shipdate").alias("ship_dow"),
+        F.last_day("l_shipdate").alias("ship_month_end"),
     )
 
 SQL_DATETIME_FUNCTIONS = """
-SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo, count(*) AS n_orders
-FROM orders GROUP BY 1, 2
+SELECT l_orderkey, year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+       date_diff('day', o_orderdate::DATE, l_shipdate::DATE) AS order_to_ship_days,
+       (l_shipdate::DATE + INTERVAL 30 DAY)::DATE AS ship_plus_30,
+       dayofweek(l_shipdate) + 1 AS ship_dow,
+       last_day(l_shipdate::DATE) AS ship_month_end
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_linenumber = 1
 """
 
 
@@ -193,12 +211,19 @@ GROUP BY 1
 
 
 def q_anti_join(spark, sf):
-    c, o = _t(spark, sf, "customer"), _t(spark, sf, "orders")
+    """Customers with no RECENT order (the crawl engine's seen-set
+    shape: left_anti against a filtered build side). The date window
+    keeps the driver row non-vacuous — every sf0.01 customer has SOME
+    order, so an unwindowed anti-join proves nothing (0 rows)."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").filter(F.col("o_orderdate") >= "2000-01-01")
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
 
 SQL_ANTI_JOIN = """
 SELECT c_custkey, c_name FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
 """
 
 
@@ -334,27 +359,42 @@ SQL_HOST_CLOCK = "SELECT user_id, max(ts) AS last_ts, count(*) AS n_events FROM 
 
 
 def q_metrics_rollup(spark, sf):
+    """Hierarchical rollup + FILTER-style conditional aggregates in one
+    driver row (absorbs the former `conditional_agg` key — count_if and
+    conditional sums are exercised inside the rollup)."""
     return (
         _t(spark, sf, "orders")
         .rollup("o_orderstatus", "o_orderpriority")
-        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum("o_totalprice"), 2).alias("total"),
+             F.count_if(F.col("o_totalprice") > 100000).alias("n_large"),
+             F.round(F.sum(F.when(F.col("o_totalprice") > 100000, F.col("o_totalprice"))
+                           .otherwise(F.lit(0.0))), 2).alias("large_value"))
     )
 
 SQL_METRICS_ROLLUP = """
-SELECT o_orderstatus, o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total
+SELECT o_orderstatus, o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total,
+       count(*) FILTER (WHERE o_totalprice > 100000) AS n_large,
+       round(sum(CASE WHEN o_totalprice > 100000 THEN o_totalprice ELSE 0 END), 2) AS large_value
 FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """
 
 
 def q_cube_agg(spark, sf):
+    """CUBE with grouping_id markers (one driver row for the multi-set
+    aggregation family — CUBE, ROLLUP and GROUPING SETS all lower to
+    the same Expand; the explicit GROUPING SETS form keeps its own fn
+    q_grouping_sets for tests)."""
     return (
         _t(spark, sf, "lineitem")
         .cube("l_returnflag", "l_linestatus")
-        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count("*").alias("n"))
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count("*").alias("n"),
+             F.grouping_id().alias("gid"))
     )
 
 SQL_CUBE_AGG = """
-SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n,
+       GROUPING(l_returnflag, l_linestatus) AS gid
 FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
 """
 
@@ -374,15 +414,30 @@ FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
 
 
 def q_distinct_count(spark, sf):
-    return _t(spark, sf, "lineitem").agg(
+    """Exact distinct (A4) + the bitmap-agg seen-set representation (A6,
+    absorbs the former `bitmap_distinct` key) in one driver row — the
+    bitmap path recomputes n_parts via bitmap_construct_agg/bitmap_count
+    per bucket and must equal the exact countDistinct, so the row is
+    self-checking as well as oracle-checked."""
+    li = _t(spark, sf, "lineitem")
+    exact = li.agg(
         F.countDistinct("l_partkey").alias("n_parts"),
         F.countDistinct("l_suppkey").alias("n_supps"),
         F.countDistinct("l_returnflag", "l_linestatus").alias("n_flag_status"),
     )
+    bm = (
+        li.select(F.bitmap_bucket_number("l_partkey").alias("bkt"),
+                  F.bitmap_bit_position("l_partkey").alias("pos"))
+        .groupBy("bkt")
+        .agg(F.bitmap_construct_agg("pos").alias("bm"))
+        .agg(F.sum(F.bitmap_count("bm")).alias("n_parts_bitmap"))
+    )
+    return exact.crossJoin(bm)
 
 SQL_DISTINCT_COUNT = """
 SELECT count(DISTINCT l_partkey) AS n_parts, count(DISTINCT l_suppkey) AS n_supps,
-       count(DISTINCT (l_returnflag, l_linestatus)) AS n_flag_status
+       count(DISTINCT (l_returnflag, l_linestatus)) AS n_flag_status,
+       count(DISTINCT l_partkey) AS n_parts_bitmap
 FROM lineitem
 """
 
@@ -413,11 +468,18 @@ def q_approx_distinct(spark, sf):
 # ================================================== W-family: window / sort
 
 def q_topk_per_group(spark, sf):
+    """Per-group top-k (WindowGroupLimit) feeding a global sort+limit
+    (TakeOrderedAndProject) — one driver row for both W1 and W6 (absorbs
+    the former `sort_limit` key; the plain form keeps fn q_sort_limit).
+    At scale this is the crawl frontier's exact shape: per-host top-k,
+    then a bounded global cut."""
     o = _t(spark, sf, "orders")
     w = W.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"), "o_orderkey")
     return (
         o.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 3)
         .select("o_orderpriority", "rk", "o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(10)
     )
 
 SQL_TOPK_PER_GROUP = """
@@ -425,6 +487,7 @@ SELECT o_orderpriority, row_number() OVER (PARTITION BY o_orderpriority ORDER BY
        o_orderkey, o_totalprice
 FROM orders
 QUALIFY rk <= 3
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
 """
 
 
@@ -448,22 +511,30 @@ FROM events WHERE event_type = 'click'
 
 
 def q_rank_functions(spark, sf):
+    """Full ranking-window family in one driver row (absorbs the former
+    `percent_rank` key): rank/dense_rank/ntile + the distribution ranks
+    percent_rank/cume_dist."""
     o = _t(spark, sf, "orders")
     wt = W.partitionBy("o_orderstatus").orderBy("o_orderpriority")
     wu = W.partitionBy("o_orderstatus").orderBy("o_orderkey")
+    wp = W.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
     return o.select(
         "o_orderkey",
         "o_orderstatus",
         F.rank().over(wt).alias("rnk"),
         F.dense_rank().over(wt).alias("drnk"),
         F.ntile(4).over(wu).alias("quartile"),
+        F.round(F.percent_rank().over(wp), 6).alias("pr"),
+        F.round(F.cume_dist().over(wp), 6).alias("cd"),
     )
 
 SQL_RANK_FUNCTIONS = """
 SELECT o_orderkey, o_orderstatus,
        rank() OVER (PARTITION BY o_orderstatus ORDER BY o_orderpriority) AS rnk,
        dense_rank() OVER (PARTITION BY o_orderstatus ORDER BY o_orderpriority) AS drnk,
-       ntile(4) OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey) AS quartile
+       ntile(4) OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey) AS quartile,
+       round(percent_rank() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey), 6) AS pr,
+       round(cume_dist() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey), 6) AS cd
 FROM orders
 """
 
@@ -581,24 +652,70 @@ def q_intersect_op(spark, sf):
 SQL_INTERSECT_OP = "SELECT c_custkey AS custkey FROM customer INTERSECT SELECT o_custkey FROM orders"
 
 
+def q_set_ops(spark, sf):
+    """UNION ALL / EXCEPT / INTERSECT in one driver row (replaces the
+    three per-op keys so the registry fits the driver's 50-row budget):
+    each set op runs against the RECENT-orders custkey set and reports
+    (op, n, custkey_sum) — a checksum the DuckDB twin reproduces
+    exactly. The date window makes EXCEPT non-vacuous (every sf0.01
+    customer has SOME order, but 100+ have none after 2000-01-01)."""
+    c = _t(spark, sf, "customer").select(F.col("c_custkey").alias("custkey"))
+    o = (_t(spark, sf, "orders")
+         .filter(F.col("o_orderdate") >= "2000-01-01")
+         .select(F.col("o_custkey").alias("custkey")))
+
+    def tally(df, op):
+        return df.agg(F.lit(op).alias("op"), F.count("*").alias("n"),
+                      F.sum("custkey").alias("custkey_sum"))
+
+    return (
+        tally(c.exceptAll(o.distinct()).distinct(), "except")
+        .unionByName(tally(c.intersect(o), "intersect"))
+        .unionByName(tally(c.unionByName(o), "union_all"))
+    )
+
+SQL_SET_OPS = """
+WITH c AS (SELECT c_custkey AS custkey FROM customer),
+     o AS (SELECT o_custkey AS custkey FROM orders
+           WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+SELECT 'except' AS op, count(*) AS n, CAST(sum(custkey) AS BIGINT) AS custkey_sum
+FROM (SELECT custkey FROM c EXCEPT SELECT custkey FROM o)
+UNION ALL
+SELECT 'intersect', count(*), CAST(sum(custkey) AS BIGINT)
+FROM (SELECT custkey FROM c INTERSECT SELECT custkey FROM o)
+UNION ALL
+SELECT 'union_all', count(*), CAST(sum(custkey) AS BIGINT)
+FROM (SELECT custkey FROM c UNION ALL SELECT custkey FROM o)
+"""
+
+
 def q_pivot(spark, sf):
+    """Pivot → unpivot ROUND-TRIP in one driver row (absorbs the former
+    `unpivot` key): wide qty_o/qty_f per returnflag, melted back to long
+    (l_returnflag, status, qty) — both relational reshapes in one plan
+    (pivot is a groupBy+conditional agg; unpivot a one-pass Expand)."""
     p = (
         _t(spark, sf, "lineitem")
         .groupBy("l_returnflag")
         .pivot("l_linestatus", ["O", "F"])
         .agg(F.round(F.sum("l_quantity"), 2))
     )
-    return p.select(
+    wide = p.select(
         "l_returnflag",
         F.coalesce("O", F.lit(0.0)).alias("qty_o"),
         F.coalesce("F", F.lit(0.0)).alias("qty_f"),
     )
+    return wide.unpivot(["l_returnflag"], ["qty_o", "qty_f"], "status", "qty")
 
 SQL_PIVOT = """
-SELECT l_returnflag,
-       coalesce(round(sum(l_quantity) FILTER (WHERE l_linestatus = 'O'), 2), 0) AS qty_o,
-       coalesce(round(sum(l_quantity) FILTER (WHERE l_linestatus = 'F'), 2), 0) AS qty_f
-FROM lineitem GROUP BY 1
+WITH wide AS (
+  SELECT l_returnflag,
+         coalesce(round(sum(l_quantity) FILTER (WHERE l_linestatus = 'O'), 2), 0) AS qty_o,
+         coalesce(round(sum(l_quantity) FILTER (WHERE l_linestatus = 'F'), 2), 0) AS qty_f
+  FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag, status, qty
+FROM wide UNPIVOT INCLUDE NULLS (qty FOR status IN (qty_o, qty_f))
 """
 
 
@@ -725,43 +842,63 @@ SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp FROM docu
 
 
 def q_token_count(spark, sf):
+    """Token counting + the normalized md5 document fingerprint (absorbs
+    the former `doc_fingerprint` key — same scan, one more JVM column)."""
     d = _t(spark, sf, "documents")
+    norm = F.lower(F.regexp_replace("text", r"\s+", " "))
     return d.select(
         "doc_id",
         F.regexp_count("text", F.lit(r"\S+")).alias("ws_tokens"),
         F.regexp_count("text", F.lit(r"[a-z]+|[0-9]+")).alias("subword_tokens"),
         (F.col("n_chars") / F.greatest(F.regexp_count("text", F.lit(r"\S+")), F.lit(1)))
         .cast("double").alias("chars_per_token"),
+        F.md5(norm).alias("fp"),
     ).withColumn("chars_per_token", F.round("chars_per_token", 4))
 
 SQL_TOKEN_COUNT = r"""
 SELECT doc_id,
        len(regexp_extract_all(text, '\S+')) AS ws_tokens,
        len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS subword_tokens,
-       round(n_chars / greatest(len(regexp_extract_all(text, '\S+')), 1), 4) AS chars_per_token
+       round(n_chars / greatest(len(regexp_extract_all(text, '\S+')), 1), 4) AS chars_per_token,
+       md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
 FROM documents
 """
 
 
 def q_text_quality(spark, sf):
+    """Quality scoring + the array/collection surface it rides on
+    (absorbs the former `array_functions` key: distinct/sort/intersect/
+    slice/element_at over the tokenized text, same split, same scan)."""
     d = _t(spark, sf, "documents")
     words = F.split(F.col("text"), " ")
     stop = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS)))
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
     return d.select(
         "doc_id",
         F.size(words).alias("n_words"),
         F.round(stop / F.greatest(F.size(words), F.lit(1)), 4).alias("stopword_ratio"),
         F.round(F.col("n_chars") / F.greatest(F.size(words), F.lit(1)), 4).alias("avg_word_len"),
+        F.size(F.array_distinct(words)).alias("n_distinct_words"),
+        F.size(F.array_intersect(F.array_distinct(words), stop_arr)).alias("n_stop_kinds"),
+        F.array_join(F.slice(F.array_sort(F.array_distinct(words)), 1, 3), ",").alias("first3"),
+        F.element_at(words, 1).alias("w0"),
+        F.element_at(words, -1).alias("w_last"),
     )
 
 SQL_TEXT_QUALITY = """
+WITH t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS words FROM documents)
 SELECT doc_id,
-       len(string_split(text, ' ')) AS n_words,
-       round(len(list_filter(string_split(text, ' '),
-                 w -> w IN ('the','a','key','value','row','table')))
-             / greatest(len(string_split(text, ' ')), 1), 4) AS stopword_ratio,
-       round(n_chars / greatest(len(string_split(text, ' ')), 1), 4) AS avg_word_len
-FROM documents
+       len(words) AS n_words,
+       round(len(list_filter(words, w -> w IN ('the','a','key','value','row','table')))
+             / greatest(len(words), 1), 4) AS stopword_ratio,
+       round(n_chars / greatest(len(words), 1), 4) AS avg_word_len,
+       len(list_distinct(words)) AS n_distinct_words,
+       len(list_intersect(list_distinct(words),
+           ['the','a','key','value','row','table'])) AS n_stop_kinds,
+       array_to_string(list_sort(list_distinct(words))[1:3], ',') AS first3,
+       words[1] AS w0,
+       words[-1] AS w_last
+FROM t
 """
 
 
@@ -864,6 +1001,25 @@ FROM pairs QUALIFY rk <= 5
 # remains here as the DuckDB-checkable oracle twin.
 SQL_DEDUP_EMBEDDING_COSINE = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       round(list_dot_product(a.emb, b.emb)
+             / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 4) AS cos
+FROM e a CROSS JOIN e b
+WHERE a.vec_id < b.vec_id
+  AND round(list_dot_product(a.emb, b.emb)
+            / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 4) >= 0.98
+"""
+
+# Twin of pipeline_ops.q_dedup_embedding_cosine_driver: same planted
+# exact-duplicate rows (vec_id % 97 == 0 re-inserted at +1000000), so the
+# driver hash-match exercises 6 real cos=1.0 pairs instead of passing
+# vacuously on a dataset whose max cos ≈ 0.51.
+SQL_DEDUP_EMBEDDING_COSINE_DRIVER = """
+WITH base AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 97 = 0
+), e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM base)
 SELECT a.vec_id AS a_id, b.vec_id AS b_id,
        round(list_dot_product(a.emb, b.emb)
              / (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 4) AS cos
