@@ -162,13 +162,29 @@ def crawl_throughput(spark, n: int = 5000, n_hosts: int = 60,
     # both runs produce the identical crawl). Skip the retry when the
     # first run is pathologically slow: the throttle phase is then
     # minutes long and a second run would only burn the harness budget.
-    best = one_run("a")
-    if retry_over < best["elapsed_sec"] < 2.5 * retry_over:
-        second = one_run("b")
+    def one_run_caught(tag: str) -> dict:
+        # a crashed attempt must stay diagnosable from the BENCH artifact
+        # (type + first line), not evaporate into a truncated stderr tail
+        try:
+            return one_run(tag)
+        except Exception as ex:
+            first = str(ex).splitlines()[0][:300] if str(ex) else ""
+            return {"elapsed_sec": float("inf"), "rounds": 0, "fetched_rows": 0,
+                    "fetched_rows_per_sec": 0.0, "frontier_urls_per_sec": 0.0,
+                    "error": f"{type(ex).__name__}: {first}"}
+
+    best = one_run_caught("a")
+    if "error" in best or retry_over < best["elapsed_sec"] < 2.5 * retry_over:
+        second = one_run_caught("b")
         best["retried"] = True
-        if second["elapsed_sec"] < best["elapsed_sec"]:
-            second["retried"] = True
+        second["retried"] = True
+        if "error" in best and "error" not in second:
+            second["first_attempt_error"] = best["error"]
             best = second
+        elif second["elapsed_sec"] < best["elapsed_sec"]:
+            best = second
+    if best.get("elapsed_sec") == float("inf"):
+        best["elapsed_sec"] = -1.0  # keep the JSON line parseable
     return best
 
 

@@ -330,21 +330,32 @@ def q_crawl_superstep(spark, sf):
     in-repo fixture — the flagship fetch→dedup→discover loop as seen by
     the driver. Fixture + run dirs are content-addressed by config so
     re-runs are idempotent (no wall-clock anywhere)."""
+    import hashlib
     import os
 
+    import fixtures.gen as genmod
     from fixtures.gen import generate
     from web_crawler_spark.config import CrawlConfig
-    from web_crawler_spark.plans.crawl import CrawlEngine
+    from web_crawler_spark.plans import crawl as crawlmod
+    from web_crawler_spark.sources import catalog as catmod
 
-    # _v2: fixture gained sitemaps/Allow and the catalog layout merged
-    # the band tables — version the content-addressed cache dirs so a
-    # stale round-1 cache can never be resumed against the new layout
-    fix = "/tmp/wcs_q_fix_n60_v2"
+    cfg = CrawlConfig(per_host_k=2, max_rounds=2)
+    # content-address the cache dirs by the SOURCES that define fixture
+    # bytes and catalog layout plus the config — any engine/fixture/
+    # layout change rotates the dirs automatically, so a stale cache can
+    # never be resumed against a new layout (the manual _v2 suffix this
+    # replaces would have silently bitten on the next change)
+    h = hashlib.blake2s(digest_size=4)
+    for mod in (genmod, crawlmod, catmod):
+        with open(mod.__file__, "rb") as f:
+            h.update(f.read())
+    h.update(repr(cfg).encode())
+    ver = h.hexdigest()
+    fix = f"/tmp/wcs_q_fix_n60_{ver}"
     if not os.path.exists(os.path.join(fix, "corpus.parquet")):
         generate(fix, n=60, n_hosts=8)
-    run = "/tmp/wcs_q_run_n60_k2_r2_v2"
-    cfg = CrawlConfig(per_host_k=2, max_rounds=2)
-    eng = CrawlEngine(spark, fix, run, cfg)
+    run = f"/tmp/wcs_q_run_n60_k2_r2_{ver}"
+    eng = crawlmod.CrawlEngine(spark, fix, run, cfg)
     if eng.cat.round < cfg.max_rounds - 1:
         eng.run()
     return eng.cat.read("crawl_log").select(

@@ -21,6 +21,7 @@ rows the engine enqueues as depth-0 discoveries after the seed list.
 
 from __future__ import annotations
 
+import glob
 import os
 import re
 
@@ -119,8 +120,16 @@ def load_robots_txt_dir(spark: SparkSession, txt_dir: str,
         parsed = [parse_robots_txt(t or "", agent) for t in texts]
         return pd.DataFrame(parsed)[["disallow", "allow", "crawl_delay"]]
 
+    # expand the glob driver-side: a literal '*.txt' path makes Spark's
+    # FileStreamSink metadata probe log a java stack trace per read
+    # (noise that pollutes bench tails and masks real failures)
+    paths = sorted(glob.glob(os.path.join(txt_dir, "*.txt")))
+    if not paths:
+        return spark.createDataFrame(
+            [], schema="host string, disallow array<string>, "
+                       "allow array<string>, crawl_delay double")
     files = (
-        spark.read.text(os.path.join(txt_dir, "*.txt"), wholetext=True)
+        spark.read.text(paths, wholetext=True)
         .withColumn("file", F.input_file_name())
         .withColumn("host", F.regexp_extract("file", r"([^/]+)\.txt$", 1))
     )
@@ -168,8 +177,11 @@ def load_sitemaps(spark: SparkSession, xml_dir: str) -> DataFrame:
     def locs_udf(texts: pd.Series) -> pd.Series:
         return pd.Series([parse_sitemap_xml(t) for t in texts])
 
+    paths = sorted(glob.glob(os.path.join(xml_dir, "*.xml")))  # see load_robots_txt_dir
+    if not paths:
+        return spark.createDataFrame([], schema="host string, url string, pos int")
     files = (
-        spark.read.text(os.path.join(xml_dir, "*.xml"), wholetext=True)
+        spark.read.text(paths, wholetext=True)
         .withColumn("file", F.input_file_name())
         .withColumn("host", F.regexp_extract("file", r"([^/]+)\.xml$", 1))
     )
