@@ -487,3 +487,119 @@ def q_multimodal_av(spark, sf):
         "media_id string, kind string, codec string, n_frames int, "
         "sampled_frames int, mean_level double, meta_ok boolean",
     )
+
+
+# ------------------------------------- near-dup clustering (connected comps)
+
+def dup_clusters_df(edges: DataFrame, src: str = "a_id", dst: str = "b_id",
+                    max_iters: int = 15) -> DataFrame:
+    """Connected components over a near-dup pair graph → (doc_id, rep)
+    where rep is the component's min id — the step every corpus-scale
+    dedup actually needs AFTER pair generation (pairs alone can't answer
+    "which rows do I keep": A~B and B~C must collapse to ONE keeper even
+    though A~C was never emitted).
+
+    Algorithm: min-label propagation (each round every vertex takes the
+    min label in its closed neighborhood) with an exact distributed
+    convergence check — rounds are two hash-shuffles on the edge list,
+    all JVM-side. Near-dup graphs are unions of tiny band-collision
+    cliques, so the diameter (= round count) is small; for adversarial
+    long-chain graphs the same loop structure upgrades to the
+    large-star/small-star alternation (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14) which converges in
+    O(log n) rounds — the per-round dataflow (self-join labels to edges,
+    groupBy min) is identical, so the swap is local. Each round's result
+    is persisted and the previous round unpersisted: lineage stays one
+    round deep, exactly the crawl engine's superstep discipline (at
+    10^10 edges you'd checkpoint to the catalog instead)."""
+    spark = edges.sparkSession
+    e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+         .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+         .distinct().persist())
+    # label(x) = min(x, min neighbor) to start
+    labels = (
+        e.groupBy("u").agg(F.min("v").alias("nbr_min"))
+        .select(F.col("u").alias("id"),
+                F.least("u", "nbr_min").alias("rep"))
+        .persist()
+    )
+    for _ in range(max_iters):
+        # propagate: candidate label for v is min over {rep(u) : u~v} ∪ {rep(v)}
+        prop = (
+            e.join(labels.withColumnRenamed("id", "u"), "u")
+            .select(F.col("v").alias("id"), "rep")
+            .unionByName(labels)
+            .groupBy("id").agg(F.min("rep").alias("rep"))
+        )
+        # pointer jump (path halving): rep(x) <- rep(rep(x)). Neighbor
+        # propagation alone needs O(diameter) rounds (a length-d chain
+        # crawls one hop per round); composing the label map with itself
+        # each round makes label paths halve, so convergence is
+        # O(log diameter) — the same reason large-star/small-star gets
+        # its O(log n) bound.
+        reps = prop.select(F.col("id").alias("j_id"), F.col("rep").alias("j_rep"))
+        prop = (
+            prop.join(reps, prop.rep == reps.j_id, "left")
+            .select("id", F.least(F.col("rep"), F.coalesce("j_rep", "rep")).alias("rep"))
+            .persist()
+        )
+        # the count FULLY materializes prop's cache before labels is
+        # unpersisted — a partial action (e.g. limit(1)) would leave
+        # uncomputed partitions whose lineage chains back through every
+        # evicted round (exponential recompute)
+        changed = (
+            prop.join(labels.withColumnRenamed("rep", "old_rep"), "id")
+            .filter(F.col("rep") != F.col("old_rep")).count()
+        )
+        labels.unpersist()
+        labels = prop
+        if changed == 0:
+            break
+    e.unpersist()
+    return labels.select(F.col("id").alias("doc_id"), "rep")
+
+
+def q_dedup_clusters(spark, sf):
+    """End-to-end near-dup CLUSTERING on documents: n-gram Jaccard pairs
+    (the exact shingle equi-join from queries.q_ngram_jaccard) →
+    connected components → one keeper per component. Returns
+    (doc_id, rep, is_keeper); singleton docs are their own keeper.
+    Pytest checks exact parity against a DuckDB recursive-CTE transitive
+    closure oracle (tests/test_dup_clusters.py)."""
+    from web_crawler_spark.plans import queries as Q
+
+    pairs = Q.q_ngram_jaccard(spark, sf).select("a_id", "b_id")
+    comp = dup_clusters_df(pairs)
+    d = _docs(spark, sf).select("doc_id")
+    return (
+        d.join(comp, "doc_id", "left")
+        .withColumn("rep", F.coalesce("rep", "doc_id"))
+        .withColumn("is_keeper", F.col("rep") == F.col("doc_id"))
+    )
+
+
+# ------------------------------------------- language-balanced sampling
+
+def balanced_sample_df(d: DataFrame, strata_col: str, k: int,
+                       seed: int = 20260817) -> DataFrame:
+    """Deterministic stratified sample: EXACTLY min(k, |stratum|) rows
+    per stratum, chosen by xxhash64(id, seed) order — the
+    language-balancing step of a training-data mix. Unlike sampleBy
+    (Bernoulli per row: approximate counts, exact-k impossible), the
+    hash-rank form is reproducible row-for-row across runs and clusters,
+    and the per-stratum top-k lowers to WindowGroupLimit — no global
+    sort, one shuffle on the stratum key, skew-safe because k bounds
+    every partition's output."""
+    w = W.partitionBy(strata_col).orderBy(F.xxhash64("doc_id", F.lit(seed)), "doc_id")
+    return (
+        d.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+def q_balanced_sample(spark, sf):
+    """Language-balanced deterministic sample of documents (24 per
+    lang) + the Bernoulli sampleBy twin's expected-fraction metadata."""
+    d = _docs(spark, sf).select("doc_id", "lang", "n_chars")
+    return balanced_sample_df(d, "lang", k=24)
