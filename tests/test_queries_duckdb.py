@@ -64,6 +64,19 @@ def test_query_matches_oracle_sf01(spark, duck01, name):
     assert len(spdf) > 0, f"{name} must be non-vacuous at sf0.01"
 
 
+def test_ngram_hybrid_branches_agree(spark):
+    """The df_split knob routes shingles between row-local pair
+    expansion and the distributed self-join — every split must produce
+    the identical exact pair set."""
+    from web_crawler_spark.plans.queries import q_ngram_jaccard
+
+    base = {tuple(r) for r in q_ngram_jaccard(spark, SF).collect()}
+    hot_forced = {tuple(r) for r in q_ngram_jaccard(spark, SF, df_split=3).collect()}
+    all_low = {tuple(r) for r in q_ngram_jaccard(spark, SF, df_split=10**9).collect()}
+    assert base == hot_forced == all_low
+    assert base  # non-vacuous
+
+
 def test_entry_smoke(spark):
     df = E.entry(spark)
     assert df.count() > 0
