@@ -54,15 +54,40 @@ class ManifestCatalog:
     def exists(self, name: str) -> bool:
         return name in self.manifest["versions"] or name in self.manifest["appends"]
 
+    def rounds(self) -> list[int]:
+        """Committed rounds with a retained snapshot manifest — the
+        catalog's snapshot log (Iceberg: the snapshots metadata table)."""
+        out = []
+        for fn in os.listdir(self.run_dir):
+            if fn.startswith("manifest-r") and fn.endswith(".json"):
+                out.append(int(fn[len("manifest-r"):-len(".json")]))
+        return sorted(out)
+
+    def read_at(self, name: str, round_no: int) -> DataFrame:
+        """TIME TRAVEL: read `name` exactly as committed at `round_no`,
+        from the retained per-round snapshot manifest. Version dirs are
+        immutable and appends only ever add part dirs, so an old
+        snapshot's reads stay valid while the crawl keeps running —
+        the Iceberg `VERSION AS OF` twin. Raises if the snapshot or the
+        table at that round does not exist."""
+        mpath = os.path.join(self.run_dir, f"manifest-r{round_no}.json")
+        with open(mpath) as f:
+            m = json.load(f)
+        m.setdefault("appends", {})
+        return self._read_from_manifest(name, m)
+
     def read(self, name: str) -> DataFrame:
+        return self._read_from_manifest(name, self.manifest)
+
+    def _read_from_manifest(self, name: str, manifest: dict) -> DataFrame:
         reader = self.spark.read
         if name in self.table_schemas:
             reader = reader.schema(self.table_schemas[name])
-        if name in self.manifest["appends"]:
+        if name in manifest["appends"]:
             parts = [os.path.join(self.tables_dir, name, f"v{v}")
-                     for v in self.manifest["appends"][name]]
+                     for v in manifest["appends"][name]]
             return reader.parquet(*parts)
-        v = self.manifest["versions"][name]
+        v = manifest["versions"][name]
         return reader.parquet(os.path.join(self.tables_dir, name, f"v{v}"))
 
     def counters(self) -> dict:
