@@ -77,6 +77,14 @@ def test_ngram_hybrid_branches_agree(spark):
     assert base  # non-vacuous
 
 
+def test_registry_fits_driver_budget():
+    """The driver records at most 50 CORRECTNESS rows in registry order
+    — a 51st key would get zero graded evidence. Guard the budget."""
+    qs = E.queries()
+    assert len(qs) <= 50, f"{len(qs)} keys registered; driver budget is 50"
+    assert set(E.oracle_sql()) <= set(qs)
+
+
 def test_entry_smoke(spark):
     df = E.entry(spark)
     assert df.count() > 0

