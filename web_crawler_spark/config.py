@@ -39,3 +39,14 @@ class CrawlConfig:
                                    # MUST be a power of two (cuckoo
                                    # alt-bucket XOR involution; enforced
                                    # in CuckooFilter.__init__)
+    compact_every: int | None = None  # every k rounds, small-file-compact
+                                      # append tables (Iceberg
+                                      # rewrite_data_files) — at 10^5
+                                      # rounds an uncompacted log is 10^5
+                                      # dirs and listing dominates reads
+    compact_min_parts: int = 8     # only tables at/above this part count
+    snapshot_keep: int | None = None  # retain only the newest K per-round
+                                      # snapshots (Iceberg
+                                      # expire_snapshots + orphan GC);
+                                      # None = retain all (full time
+                                      # travel, unbounded storage)

@@ -689,6 +689,27 @@ class CrawlEngine:
         for c in range(max(last + 1, 0), due + 1):
             self.evict_cohort(c)
 
+    def _maintain(self, r: int) -> None:
+        """Post-commit table maintenance: compact append tables whose
+        part count crossed the threshold, then expire old snapshots +
+        orphan GC. Both are pure layout/storage operations — table
+        contents are unchanged — so a crash between a round's commit and
+        its maintenance needs NO resume replay (contrast _evict_due):
+        the next trigger round simply compacts a few more parts."""
+        cfg = self.cfg
+        if cfg.compact_every and (r + 1) % cfg.compact_every == 0:
+            did = False
+            for name in list(self.cat.manifest["appends"]):
+                if len(self.cat.parts(name)) >= cfg.compact_min_parts:
+                    # toy scale: one part; a cluster passes a partition
+                    # count sized to the Iceberg target file size
+                    self.cat.compact(name, partitions=1)
+                    did = True
+            if did:
+                self.cat.commit(self.cat.round, self.cat.counters())
+        if cfg.snapshot_keep is not None:
+            self.cat.expire_snapshots(cfg.snapshot_keep)
+
     # ------------------------------------------------------------ derived
     def images_kept(self) -> DataFrame:
         """Kept image+caption rows — a VIEW over committed tables (the
@@ -721,4 +742,6 @@ class CrawlEngine:
                 break
             if self.cfg.recrawl_window is not None:
                 self._evict_due(r)
+            if self.cfg.compact_every or self.cfg.snapshot_keep is not None:
+                self._maintain(r)
         return {"rounds": self.cat.round + 1, "fetched_total": total}

@@ -181,6 +181,66 @@ class ManifestCatalog:
         pq.write_table(table, os.path.join(path, "part-00000.parquet"))
         return v
 
+    # -- maintenance ------------------------------------------------------
+    def parts(self, name: str) -> list[int]:
+        """Committed part versions of an append table (empty for
+        stage-based tables) — the input to compaction decisions."""
+        return list(self.manifest["appends"].get(name, []))
+
+    def compact(self, name: str, partitions: int | None = None) -> int:
+        """Small-file compaction of an append table (Iceberg
+        ``rewrite_data_files``): rewrite the committed parts as ONE new
+        part via ``replace`` — the append list collapses to it at the
+        next commit. Pure layout change: table contents are identical,
+        so compaction needs no resume replay (unlike eviction). At
+        10^5-round scale an uncompacted append table is 10^5 directories
+        and the read-side file listing becomes the bottleneck; on a real
+        cluster ``partitions`` targets the Iceberg file-size goal."""
+        return self.replace(name, self.read(name), partitions=partitions)
+
+    def expire_snapshots(self, keep_last: int) -> dict:
+        """Iceberg ``expire_snapshots`` + ``remove_orphan_files``: drop
+        all but the newest ``keep_last`` per-round snapshot manifests,
+        then delete every version directory that no retained manifest,
+        the live manifest, nor staged state references. ``read_at`` on
+        an expired round raises thereafter (exactly Iceberg's contract).
+
+        Crash-safe by ordering: manifests are removed before the
+        directory sweep, so an interrupted sweep only leaves orphans for
+        the next sweep — never a retained manifest pointing at a deleted
+        directory. The big win is stage-based tables (e.g. the frontier,
+        rewritten every round): their superseded versions are only
+        reachable through old snapshots."""
+        rounds = self.rounds()
+        expired = rounds[:-keep_last] if keep_last > 0 else rounds
+        for rn in expired:
+            os.remove(os.path.join(self.run_dir, f"manifest-r{rn}.json"))
+        referenced: set[tuple[str, int]] = set()
+        manifests = [self.manifest]
+        for rn in self.rounds():
+            with open(os.path.join(self.run_dir, f"manifest-r{rn}.json")) as f:
+                manifests.append(json.load(f))
+        for m in manifests:
+            for name, v in m.get("versions", {}).items():
+                referenced.add((name, int(v)))
+            for name, vs in m.get("appends", {}).items():
+                referenced.update((name, int(v)) for v in vs)
+        for name, v in getattr(self, "_staged", {}).items():
+            referenced.add((name, int(v)))
+        for name, vs in getattr(self, "_staged_appends", {}).items():
+            referenced.update((name, int(v)) for v in vs)
+        for name, v in getattr(self, "_staged_replaces", {}).items():
+            referenced.add((name, int(v)))
+        removed = 0
+        for name in os.listdir(self.tables_dir):
+            tdir = os.path.join(self.tables_dir, name)
+            for fn in os.listdir(tdir):
+                if (fn.startswith("v") and fn[1:].lstrip("-").isdigit()
+                        and (name, int(fn[1:])) not in referenced):
+                    shutil.rmtree(os.path.join(tdir, fn))
+                    removed += 1
+        return {"expired_snapshots": len(expired), "orphans_removed": removed}
+
     def commit(self, round_no: int, counters: dict) -> None:
         staged = getattr(self, "_staged", {})
         self.manifest["versions"].update(staged)
