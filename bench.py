@@ -198,11 +198,15 @@ def run_soak() -> None:
 
     spark = get_spark(app="wcs-soak", cores=CPUS)
     out = {}
-    for tag, n, hosts, k, rounds in (
+    tiers = [
         ("small", 5000, 60, 32, 5),
         ("medium", 20000, 400, 32, 5),
         ("large", 60000, 2000, 64, 5),
-    ):
+    ]
+    if "--xlarge" in sys.argv:
+        # ~8k-row rounds: fixture gen is ~50s/1.4GB, so opt-in
+        tiers.append(("xlarge", 200000, 4000, 128, 5))
+    for tag, n, hosts, k, rounds in tiers:
         r = crawl_throughput(spark, n=n, n_hosts=hosts, per_host_k=k,
                              max_rounds=rounds, retry_over=1e9)
         r["batch_per_round"] = round(r["fetched_rows"] / max(r["rounds"], 1))

@@ -83,6 +83,36 @@ def test_orphan_versions_removed_and_reads_intact(runs):
         assert maint.cat.read(name).count() >= 0
 
 
+def test_incremental_read_is_exactly_the_delta(runs):
+    plain, _ = runs
+    cat = plain.cat
+    inc = cat.read_changes("crawl_log", 2, 5).toPandas()
+    full = cat.read_at("crawl_log", 5).toPandas()
+    want = full[full["round"].between(3, 5)]
+    assert sorted(inc["fetch_seq"]) == sorted(want["fetch_seq"])
+    # stitching successive deltas onto a base snapshot rebuilds the table
+    base = cat.read_at("crawl_log", 2).count()
+    tail = cat.read_changes("crawl_log", 2).count()
+    assert base + tail == cat.read("crawl_log").count()
+    # empty window -> empty frame with the declared schema
+    assert cat.read_changes("crawl_log", 5, 5).count() == 0
+
+
+def test_incremental_read_refuses_rewrites(runs):
+    _, maint = runs
+    retained = maint.cat.rounds()
+    # compaction rewrote crawl_log inside every retained window
+    with pytest.raises(ValueError, match="rewritten"):
+        maint.cat.read_changes("crawl_log", retained[0], retained[-1])
+
+
+def test_history_snapshot_log(runs):
+    plain, _ = runs
+    hist = plain.cat.history()
+    assert [h["round"] for h in hist] == plain.cat.rounds()
+    assert all("next_fetch_seq" in h["counters"] for h in hist if h["round"] >= 0)
+
+
 def test_resume_across_maintenance(spark, fix_dir, tmp_path_factory, runs):
     _, maint = runs
     run_dir = str(tmp_path_factory.mktemp("mt_resume"))

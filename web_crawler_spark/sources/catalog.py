@@ -79,6 +79,55 @@ class ManifestCatalog:
     def read(self, name: str) -> DataFrame:
         return self._read_from_manifest(name, self.manifest)
 
+    def read_changes(self, name: str, from_round: int,
+                     to_round: int | None = None) -> DataFrame:
+        """INCREMENTAL scan (Iceberg incremental-append scan): the rows
+        added to append table ``name`` by commits AFTER ``from_round``
+        up to ``to_round`` (default: the live manifest). Reads only the
+        delta part directories — a consumer tailing the crawl log scans
+        the new rounds' bytes, never the accumulated table. Raises
+        ValueError if a replace (eviction compaction / maintenance)
+        rewrote the table inside the window — deltas are no longer
+        expressible as added parts then, exactly Iceberg's refusal on
+        overwrite snapshots; resync with a full ``read``/``read_at``."""
+        with open(os.path.join(self.run_dir, f"manifest-r{from_round}.json")) as f:
+            base = json.load(f)
+        if to_round is None:
+            target = self.manifest
+        else:
+            with open(os.path.join(self.run_dir, f"manifest-r{to_round}.json")) as f:
+                target = json.load(f)
+        old = base.get("appends", {}).get(name, [])
+        new = target.get("appends", {}).get(name, [])
+        if not set(old) <= set(new):
+            raise ValueError(
+                f"table {name!r} was rewritten between rounds {from_round} "
+                f"and {to_round if to_round is not None else self.round} "
+                "(replace/compaction) — incremental read unavailable")
+        delta = [v for v in new if v not in set(old)]
+        reader = self.spark.read
+        if name in self.table_schemas:
+            reader = reader.schema(self.table_schemas[name])
+        if not delta:
+            if name in self.table_schemas:
+                return self.spark.createDataFrame([], self.table_schemas[name])
+            if not new:
+                raise KeyError(f"table {name!r} has no append parts in either snapshot")
+            return reader.parquet(
+                os.path.join(self.tables_dir, name, f"v{new[0]}")).limit(0)
+        return reader.parquet(*(
+            os.path.join(self.tables_dir, name, f"v{v}") for v in delta))
+
+    def history(self) -> list[dict]:
+        """Snapshot log (Iceberg `.snapshots` metadata table): one entry
+        per retained round with its committed counters."""
+        out = []
+        for rn in self.rounds():
+            with open(os.path.join(self.run_dir, f"manifest-r{rn}.json")) as f:
+                m = json.load(f)
+            out.append({"round": rn, "counters": m.get("counters", {})})
+        return out
+
     def _read_from_manifest(self, name: str, manifest: dict) -> DataFrame:
         reader = self.spark.read
         if name in self.table_schemas:
