@@ -25,6 +25,7 @@ import shutil
 import threading
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
 
 
 class ManifestCatalog:
@@ -35,7 +36,10 @@ class ManifestCatalog:
         # declared StructTypes per table: reads skip parquet-footer
         # schema inference (which costs a driver round-trip per read per
         # round and grows with the append count)
-        self.table_schemas = table_schemas or {}
+        self.table_schemas = dict(table_schemas or {})
+        # the code-declared (pre-evolution) schemas: the fallback for
+        # snapshots committed before any alter_add_columns
+        self._base_schemas = dict(self.table_schemas)
         self.tables_dir = os.path.join(run_dir, "tables")
         os.makedirs(self.tables_dir, exist_ok=True)
         # stage()/append() are safe to call from concurrent driver threads
@@ -49,6 +53,10 @@ class ManifestCatalog:
             with open(mpath) as f:
                 self.manifest = json.load(f)
             self.manifest.setdefault("appends", {})
+            # resume sees evolved schemas: the committed manifest wins
+            # over the constructor's (code-declared) StructTypes
+            for name, sj in self.manifest.get("schemas", {}).items():
+                self.table_schemas[name] = T.StructType.fromJson(sj)
 
     # -- reads ------------------------------------------------------------
     def exists(self, name: str) -> bool:
@@ -74,10 +82,10 @@ class ManifestCatalog:
         with open(mpath) as f:
             m = json.load(f)
         m.setdefault("appends", {})
-        return self._read_from_manifest(name, m)
+        return self._read_from_manifest(name, m, live=False)
 
     def read(self, name: str) -> DataFrame:
-        return self._read_from_manifest(name, self.manifest)
+        return self._read_from_manifest(name, self.manifest, live=True)
 
     def read_changes(self, name: str, from_round: int,
                      to_round: int | None = None) -> DataFrame:
@@ -105,12 +113,13 @@ class ManifestCatalog:
                 f"and {to_round if to_round is not None else self.round} "
                 "(replace/compaction) — incremental read unavailable")
         delta = [v for v in new if v not in set(old)]
+        schema = self._schema_for(name, target, live=to_round is None)
         reader = self.spark.read
-        if name in self.table_schemas:
-            reader = reader.schema(self.table_schemas[name])
+        if schema is not None:
+            reader = reader.schema(schema)
         if not delta:
-            if name in self.table_schemas:
-                return self.spark.createDataFrame([], self.table_schemas[name])
+            if schema is not None:
+                return self.spark.createDataFrame([], schema)
             if not new:
                 raise KeyError(f"table {name!r} has no append parts in either snapshot")
             return reader.parquet(
@@ -128,10 +137,26 @@ class ManifestCatalog:
             out.append({"round": rn, "counters": m.get("counters", {})})
         return out
 
-    def _read_from_manifest(self, name: str, manifest: dict) -> DataFrame:
+    def _schema_for(self, name: str, manifest: dict, live: bool):
+        """Schema binding per Iceberg semantics: live reads use the
+        current (possibly just-evolved) schema; snapshot reads use the
+        schema RECORDED in that snapshot's manifest, falling back to the
+        code-declared base for snapshots that predate any evolution —
+        so time travel to a pre-evolution round never shows the added
+        columns."""
+        if live:
+            return self.table_schemas.get(name)
+        sj = manifest.get("schemas", {}).get(name)
+        if sj is not None:
+            return T.StructType.fromJson(sj)
+        return self._base_schemas.get(name)
+
+    def _read_from_manifest(self, name: str, manifest: dict,
+                            live: bool = True) -> DataFrame:
+        schema = self._schema_for(name, manifest, live)
         reader = self.spark.read
-        if name in self.table_schemas:
-            reader = reader.schema(self.table_schemas[name])
+        if schema is not None:
+            reader = reader.schema(schema)
         if name in manifest["appends"]:
             parts = [os.path.join(self.tables_dir, name, f"v{v}")
                      for v in manifest["appends"][name]]
@@ -229,6 +254,56 @@ class ManifestCatalog:
         os.makedirs(path, exist_ok=True)
         pq.write_table(table, os.path.join(path, "part-00000.parquet"))
         return v
+
+    # -- schema evolution / merge ------------------------------------------
+    def alter_add_columns(self, name: str, fields) -> None:
+        """Additive schema evolution (Iceberg ``ALTER TABLE ... ADD
+        COLUMN``): a METADATA-ONLY change — no data files are touched,
+        old parts read back with NULL in the added columns (verified:
+        Spark's parquet reader null-fills declared-but-absent columns).
+        New fields must be nullable and not already present; drops,
+        renames and type changes are refused — without Iceberg's
+        field-id indirection they would silently mis-bind old parts.
+        Takes effect immediately for live reads/writes and is persisted
+        in every snapshot manifest from the next commit on, so resume
+        sees the evolved schema while time travel to earlier rounds
+        reads the old one."""
+        base = self.table_schemas.get(name)
+        if base is None:
+            raise KeyError(f"table {name!r} has no declared schema to evolve")
+        have = set(base.fieldNames())
+        fields = list(fields)
+        for f in fields:
+            if f.name in have:
+                raise ValueError(f"column {f.name!r} already exists in {name!r} "
+                                 "(only additive evolution is supported)")
+            if not f.nullable:
+                raise ValueError(f"added column {f.name!r} must be nullable — "
+                                 "existing parts have no value for it")
+        evolved = T.StructType(base.fields + fields)
+        self.table_schemas[name] = evolved
+        self.manifest.setdefault("schemas", {})[name] = evolved.jsonValue()
+
+    def merge(self, name: str, source: DataFrame, on,
+              partitions: int | None = None) -> int:
+        """Upsert (Iceberg/Delta ``MERGE INTO ... WHEN MATCHED THEN
+        UPDATE SET * WHEN NOT MATCHED THEN INSERT *``), copy-on-write:
+        matched target rows are replaced by their source row, unmatched
+        target rows kept, unmatched source rows inserted. One shuffle on
+        the merge key (the anti-join); staged like every write, so the
+        merge is invisible until commit and pre-merge snapshots stay
+        intact. ``source`` must be key-unique (MERGE's cardinality
+        rule). On a real cluster the Iceberg CoW MERGE narrows the
+        rewrite to touched partitions via pruning on the key — here the
+        table is one logical partition, so the rewrite is the table."""
+        on = [on] if isinstance(on, str) else list(on)
+        target = self.read(name)
+        kept = target.join(source.select(*on).dropDuplicates(on),
+                           on=on, how="left_anti")
+        merged = kept.unionByName(source.select(*target.columns))
+        staged = name in self.manifest["versions"] or name in getattr(self, "_staged", {})
+        writer = self.stage if staged else self.replace
+        return writer(name, merged, partitions=partitions)
 
     # -- maintenance ------------------------------------------------------
     def parts(self, name: str) -> list[int]:
