@@ -8,6 +8,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from web_crawler_spark.streaming import (
+    seen_filter_dropdup_stream,
     stateful_seen_filter_stream,
     stateful_seen_filter_tws,
     streaming_round_demo,
@@ -92,6 +93,59 @@ def test_tws_seen_filter_matches_legacy_api(spark, tmp_path):
     got = stateful_seen_filter_tws(spark, d, str(tmp_path / "out"))
     assert got.count() == 33
     assert {r.url_hash for r in got.collect()} == set(range(33))
+
+
+def test_dropdup_stream_matches_python_state_path(spark, tmp_path):
+    """The built-in dropDuplicates streaming dedup (JVM state store, the
+    scale-preferred ST4 variant) must produce the same seen-set as the
+    applyInPandasWithState path and as a batch distinct."""
+    urls = spark.createDataFrame(
+        [(i % 40, f"http://h{i % 40}.example/p") for i in range(200)],
+        "url_hash long, canon_url string",
+    )
+    d = str(tmp_path / "urls")
+    urls.repartition(4).write.parquet(d)
+    got = seen_filter_dropdup_stream(spark, d, str(tmp_path / "out"))
+    assert got.count() == 40
+    assert {r.url_hash for r in got.collect()} == set(range(40))
+
+
+def test_dropdup_within_watermark_readmits_after_window(spark, tmp_path):
+    """dropDuplicatesWithinWatermark is the streaming twin of recrawl-
+    window eviction: a URL re-seen while its state is live is dropped,
+    but once the watermark passes it, the same URL is re-admitted.
+    Four time-ordered files (one micro-batch each; watermark advance and
+    the state cleanup it triggers each lag one batch behind the data):
+      f1: A@t0 twice              -> one emit (in-batch dup dropped)
+      f2: B@t0+5h                 -> watermark will advance past A's expiry
+      f3: C@t0+6h                 -> batch runs with watermark t0+4h, A evicted
+      f4: A@t0+5h                 -> re-admitted (state was evicted)
+    """
+    import time
+
+    t0 = "2024-01-01 00:00:00"
+    t5 = "2024-01-01 05:00:00"
+    t6 = "2024-01-01 06:00:00"
+    d = str(tmp_path / "urls")
+    files = [
+        [(7, "http://a.example/p", t0), (7, "http://a.example/p", t0)],
+        [(9, "http://b.example/p", t5)],
+        [(11, "http://c.example/p", t6)],
+        [(7, "http://a.example/p", t5)],
+    ]
+    for rows in files:
+        spark.createDataFrame(
+            rows, "url_hash long, canon_url string, ts string",
+        ).coalesce(1).write.mode("append").parquet(d)
+        time.sleep(1.1)
+    got = seen_filter_dropdup_stream(
+        spark, d, str(tmp_path / "out"), within_watermark="1 hour")
+    rows = {(r.url_hash, str(r.ts)) for r in got.collect()}
+    assert (7, f"{t0}") in rows          # first sighting emitted once
+    assert (9, f"{t5}") in rows          # unrelated key emitted
+    assert (11, f"{t6}") in rows         # watermark-advancing key emitted
+    assert (7, f"{t5}") in rows          # re-admitted after eviction
+    assert got.count() == 4              # the in-batch duplicate was dropped
 
 
 def test_foreachbatch_rounds_cover_all_events(spark, events_dir, tmp_path):

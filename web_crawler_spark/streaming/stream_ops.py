@@ -133,6 +133,51 @@ def stateful_seen_filter_stream(
     return spark.read.parquet(os.path.join(out_dir, "data"))
 
 
+def seen_filter_dropdup_stream(
+    spark: SparkSession, urls_dir: str, out_dir: str,
+    within_watermark: str | None = None,
+) -> DataFrame:
+    """ST4 on BUILT-IN operators: the streaming URL-seen filter as
+    `dropDuplicates` / `dropDuplicatesWithinWatermark`.
+
+    This is the scale-preferred variant of stateful_seen_filter_stream:
+    the seen-set state lives entirely in the JVM state store
+    (HDFS-backed locally, RocksDB on a cluster) with per-key layout —
+    no Python worker in the loop and no per-key value-blob rewrite per
+    micro-batch, which is exactly the applyInPandasWithState limitation
+    flagged as scale-weak. Exchange + sort on the dedup keys is planned
+    by Catalyst; state cleanup is incremental in the store.
+
+    Two modes:
+    - within_watermark=None → exact, unbounded dedup: the precise
+      streaming twin of the engine's seen anti-join (state grows with
+      |seen|, as the batch table does).
+    - within_watermark="<delay>" → `dropDuplicatesWithinWatermark` over
+      an event-time `ts` column: state for a URL expires once the
+      watermark passes it, after which the same URL is emitted again —
+      the streaming twin of the engine's recrawl-window eviction
+      (evict_cohort): bounded state at 10^10-URL scale, deterministic
+      re-admission after the window.
+    """
+    schema = spark.read.parquet(urls_dir).schema
+    s = _stream_parquet(spark, urls_dir, schema)
+    if within_watermark is None:
+        dd = s.dropDuplicates(["url_hash", "canon_url"])
+    else:
+        dd = (
+            s.withColumn("ts", F.col("ts").cast("timestamp"))
+            .withWatermark("ts", within_watermark)
+            .dropDuplicatesWithinWatermark(["url_hash", "canon_url"])
+        )
+    ckpt = os.path.join(out_dir, "_ckpt")
+    _run_available_now(
+        dd.writeStream.format("parquet").outputMode("append")
+        .option("path", os.path.join(out_dir, "data")),
+        ckpt,
+    )
+    return spark.read.parquet(os.path.join(out_dir, "data"))
+
+
 def streaming_round_demo(
     spark: SparkSession, events_dir: str, out_dir: str,
 ) -> DataFrame:
