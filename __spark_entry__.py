@@ -75,7 +75,9 @@ _SQL_CHECKED = {
     # training-data pipeline (SQL-expressible part)
     "dedup_exact": (Q.q_dedup_exact, Q.SQL_DEDUP_EXACT),
     "token_count": (Q.q_token_count, Q.SQL_TOKEN_COUNT),
-    "text_quality": (Q.q_text_quality, Q.SQL_TEXT_QUALITY),
+    # combined with the T22 repetition filters (q_repetition_quality) —
+    # same fold pattern, one row witnesses both families
+    "text_quality": (Q.q_text_quality_driver, Q.SQL_TEXT_QUALITY_DRIVER),
     "ngram_jaccard": (Q.q_ngram_jaccard, Q.SQL_NGRAM_JACCARD),
     "embedding_cosine_topk": (Q.q_embedding_cosine_topk, Q.SQL_EMBEDDING_COSINE_TOPK),
     # Spark side is the LSH-bucketed plan (no cross join); the SQL twin

@@ -902,6 +902,115 @@ FROM t
 """
 
 
+def q_repetition_quality(spark, sf):
+    """T22: Gopher-style repetition filters — the standard LLM-corpus
+    quality gate the array-based `text_quality` metrics can't express
+    at scale: top-word dominance and duplicated-2-gram mass.
+
+    Scale shape: explode + two-level groupBy (per-(doc,token) counts,
+    then per-doc max/sum) — partial aggregation map-side-combines the
+    token counts, so no task ever holds a whole document's token
+    multiset in one row, unlike the O(n_words^2) within-array lambda
+    alternative. The word and 2-gram branches share the one parquet
+    scan; AQE plans the final doc_id joins as broadcast at small SF and
+    shuffle-hash at corpus scale (doc_id is unique per branch — no
+    skew)."""
+    d = _t(spark, sf, "documents")
+    base = d.select("doc_id", F.split(F.col("text"), " ").alias("words"))
+    wstats = (
+        base.select("doc_id", F.explode("words").alias("w"))
+        .groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_words"),
+            F.max("c").alias("top_word_cnt"),
+        )
+    )
+    # 0-based Spark SQL array indexing: gram j = words[j] ' ' words[j+1]
+    grams = base.select(
+        "doc_id",
+        F.explode(F.expr(
+            "transform(slice(words, 1, greatest(size(words) - 1, 0)),"
+            " (w, i) -> concat(w, ' ', words[i + 1]))"
+        )).alias("g"),
+    )
+    gstats = (
+        grams.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_2grams"),
+            F.count("*").alias("n_distinct_2grams"),
+            F.max("c").alias("top_2gram_cnt"),
+        )
+    )
+    # left join: a 1-word doc has no 2-grams (explode drops it from gstats)
+    return (
+        wstats.join(gstats, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            "top_word_cnt",
+            F.round(F.col("top_word_cnt") / F.col("n_words"), 4)
+            .alias("top_word_frac"),
+            F.coalesce("n_2grams", F.lit(0)).alias("n_2grams"),
+            F.coalesce("n_distinct_2grams", F.lit(0)).alias("n_distinct_2grams"),
+            F.coalesce("top_2gram_cnt", F.lit(0)).alias("top_2gram_cnt"),
+            F.when(F.coalesce("n_2grams", F.lit(0)) == 0, F.lit(0.0))
+            .otherwise(F.round(
+                (F.col("n_2grams") - F.col("n_distinct_2grams"))
+                / F.col("n_2grams"), 4))
+            .alias("dup_2gram_frac"),
+        )
+    )
+
+SQL_REPETITION_QUALITY = """
+WITH base AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+w AS (SELECT doc_id, unnest(words) AS w FROM base),
+wc AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2),
+ws AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+              max(c) AS top_word_cnt
+       FROM wc GROUP BY 1),
+g AS (SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(words) - 1),
+                                   i -> words[i] || ' ' || words[i + 1])) AS g
+      FROM base),
+gc AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2),
+gs AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_2grams,
+              count(*) AS n_distinct_2grams, max(c) AS top_2gram_cnt
+       FROM gc GROUP BY 1)
+SELECT ws.doc_id, n_words, top_word_cnt,
+       round(top_word_cnt / n_words, 4) AS top_word_frac,
+       coalesce(n_2grams, 0) AS n_2grams,
+       coalesce(n_distinct_2grams, 0) AS n_distinct_2grams,
+       coalesce(top_2gram_cnt, 0) AS top_2gram_cnt,
+       CASE WHEN coalesce(n_2grams, 0) = 0 THEN 0.0
+            ELSE round((n_2grams - n_distinct_2grams) / n_2grams, 4)
+       END AS dup_2gram_frac
+FROM ws LEFT JOIN gs ON ws.doc_id = gs.doc_id
+"""
+
+
+def q_text_quality_driver(spark, sf):
+    """Driver key `text_quality`: the array-surface quality metrics plus
+    the T22 repetition filters, joined on doc_id so one CORRECTNESS row
+    witnesses both operator families (same 50-key-budget fold pattern as
+    the other r3 consolidations; both standalone q_* remain for tests).
+    n_words is deliberately computed two independent ways (array size vs
+    exploded sum) — the join would hash-mismatch if they ever diverged,
+    so the fold is self-checking on tokenization."""
+    tq = q_text_quality(spark, sf)
+    rep = q_repetition_quality(spark, sf).drop("n_words")
+    return tq.join(rep, "doc_id")
+
+SQL_TEXT_QUALITY_DRIVER = f"""
+WITH tq AS ({SQL_TEXT_QUALITY}),
+rep AS ({SQL_REPETITION_QUALITY})
+SELECT tq.*, rep.top_word_cnt, rep.top_word_frac, rep.n_2grams,
+       rep.n_distinct_2grams, rep.top_2gram_cnt, rep.dup_2gram_frac
+FROM tq JOIN rep ON tq.doc_id = rep.doc_id
+"""
+
+
 def q_ngram_jaccard(spark, sf, df_split: int = 64):
     """Exact n-gram Jaccard near-dup pairs via a HYBRID inverted index
     (measured ~1.6x the old plain self-join at sf0.1, same results):
