@@ -215,6 +215,72 @@ def run_soak() -> None:
                       "soak": out, "cores": CPUS}))
 
 
+# ------------------------------------------------------- frontier stress
+
+def run_frontier_stress(rows: int, hosts: int, k: int, cores: int) -> None:
+    """North-rule frontier metric at stress scale: drive the ENGINE's
+    ``schedule_batch`` — the exact code ``_run_round`` schedules with —
+    over a synthetic deterministic frontier of ``rows`` URLs across
+    ``hosts`` hosts and report frontier URLs/sec. The frontier is
+    generated distributed from ``spark.range`` (256 partitions, no
+    fixture files, no driver materialization), with a heavy-tailed
+    host-size distribution (hash-cubed mapping: the largest host holds
+    ~(1/hosts)^(1/3) of all URLs) so the per-host top-k window sees the
+    hot-domain skew the salted bucketing exists for, and ~1% of hosts
+    carry a politeness clock so the host_next join path is exercised.
+
+    10^8 rows at local[32] is the single-node 1% slice of the 10^10-URL
+    frontier target: the plan contains one window shuffle on host, one
+    broadcast offset join, and no driver-sized state, so the same job
+    over 100x the rows on ~1000 executors is the same per-partition
+    work."""
+    from pyspark.sql import functions as F
+
+    from web_crawler_spark.config import CrawlConfig
+    from web_crawler_spark.plans.crawl import _bucket, schedule_batch
+    from web_crawler_spark.session import get_spark
+
+    spark = get_spark(app="wcs-frontier", cores=cores,
+                      shuffle_partitions=max(cores * 4, 32))
+    cfg = CrawlConfig(per_host_k=k)
+    u = (F.pmod(F.xxhash64("id", F.lit(11)), F.lit(1_000_000))
+         / F.lit(1_000_000.0))
+    host_id = F.floor(F.lit(float(hosts)) * u * u * u).cast("long")
+    host = F.concat(F.lit("h"), host_id.cast("string"), F.lit(".example"))
+    frontier = spark.range(0, rows, 1, 256).select(
+        F.concat(F.lit("http://"), host, F.lit("/p/"),
+                 F.col("id").cast("string")).alias("canon_url"),
+        F.xxhash64(F.concat(F.lit("http://"), host, F.lit("/p/"),
+                            F.col("id").cast("string"))).alias("url_hash"),
+        host.alias("host"),
+        F.pmod(F.xxhash64("id", F.lit(13)), F.lit(4)).cast("int").alias("priority"),
+        F.col("id").alias("discovered_seq"),
+        F.lit(0).alias("ready_round"),
+    ).withColumn("bucket", _bucket(F.col("host"), F.col("canon_url"), cfg))
+    host_next = spark.range(0, max(hosts // 100, 1)).select(
+        F.concat(F.lit("h"), (F.col("id") * 100).cast("string"),
+                 F.lit(".example")).alias("host"),
+        F.lit(1).alias("next_round"),
+    )
+    # next_seq sizes the two-phase seq's range buckets (plans/seq.py):
+    # 8*rows keeps the packed offset array ~2k entries
+    batch, sel = schedule_batch(frontier, host_next, 0, cfg,
+                                next_seq=8 * rows, next_fetch_seq=0)
+    t0 = time.perf_counter()
+    _materialize(batch)
+    wall = round(time.perf_counter() - t0, 3)
+    n_sel = batch.count()  # cheap: recomputes from the persisted `sel`
+    sel.unpersist()
+    print(json.dumps({
+        "metric": "frontier URLs/sec through the engine's scheduling "
+                  "superstep (synthetic heavy-tailed frontier)",
+        "rows": rows, "hosts": hosts, "per_host_k": k, "cores": cores,
+        "selected": n_sel, "elapsed_sec": wall,
+        "frontier_urls_per_sec": round(rows / wall, 1),
+        "selected_per_sec": round(n_sel / wall, 1),
+    }))
+
+
 # ------------------------------------------------------------- scale job
 
 def run_scale_job(cores: int, rows: int) -> None:
@@ -437,5 +503,9 @@ if __name__ == "__main__":
         run_scaling(_flag("--rows", 1200000), attempts=_flag("--attempts", 2))
     elif "--soak" in args:
         run_soak()
+    elif "--frontier" in args:
+        run_frontier_stress(_flag("--rows", 100_000_000),
+                            _flag("--hosts", 1_000_000),
+                            _flag("--k", 16), _flag("--cores", CPUS))
     else:
         run_headline()

@@ -125,6 +125,45 @@ def _bucket(host_col, url_col, cfg: CrawlConfig):
     return F.pmod(F.xxhash64(host_col, salt), F.lit(cfg.n_buckets)).cast("int")
 
 
+def schedule_batch(frontier, host_next, r: int, cfg: CrawlConfig, *,
+                   next_seq: int, next_fetch_seq: int,
+                   budget_left: int | None = None):
+    """The frontier-scheduling superstep, standalone: eligibility filter
+    → politeness-clock join → per-host top-k (parallel window on the
+    host key) → optional global budget truncation → two-phase global
+    fetch_seq (plans/seq.py — priority + a range-bucket of
+    discovered_seq is a monotone coarsening of the batch order, so
+    assignment stays parallel; no single-partition window over the
+    batch).
+
+    Returns ``(batch, sel)``: the scheduled batch with ``fetch_seq``
+    assigned, and the persisted selection frame (callers unpersist it
+    after the round's actions — it is cached so the count and
+    row_number branches share one evaluation of the eligibility
+    subplan). Used by ``CrawlEngine._run_round`` and, over a synthetic
+    10^8-row frontier, by ``bench.py --frontier`` — the stress evidence
+    for the north-rule frontier-URLs/sec metric runs this exact code."""
+    elig = (
+        frontier.filter(F.col("ready_round") <= r)
+        .join(host_next, "host", "left")
+        .filter(F.coalesce("next_round", F.lit(0)) <= r)
+        .drop("next_round")
+    )
+    wk = Window.partitionBy("host").orderBy("priority", "discovered_seq")
+    sel = (elig.withColumn("rn", F.row_number().over(wk))
+           .filter(F.col("rn") <= cfg.per_host_k).drop("rn"))
+    if budget_left is not None:
+        sel = sel.orderBy("priority", "discovered_seq").limit(int(budget_left))
+    db = max(1, int(next_seq) // 4096)
+    sel = sel.withColumn(
+        "_db", (F.col("discovered_seq") / F.lit(db)).cast("long")).persist()
+    batch = with_global_seq(
+        sel, ["priority", "_db"], ["discovered_seq"],
+        "fetch_seq", start=int(next_fetch_seq),
+    ).drop("_db")
+    return batch, sel
+
+
 class CrawlEngine:
     def __init__(self, spark: SparkSession, fix_dir: str, run_dir: str,
                  cfg: CrawlConfig = CrawlConfig()):
@@ -301,30 +340,12 @@ class CrawlEngine:
 
         frontier = cat.read("frontier")
         host_next = cat.read("host_next")
-
-        elig = (
-            frontier.filter(F.col("ready_round") <= r)
-            .join(host_next, "host", "left")
-            .filter(F.coalesce("next_round", F.lit(0)) <= r)
-            .drop("next_round")
+        batch, sel = schedule_batch(
+            frontier, host_next, r, cfg,
+            next_seq=int(ctr["next_seq"]),
+            next_fetch_seq=int(ctr["next_fetch_seq"]),
+            budget_left=budget_left,
         )
-        wk = Window.partitionBy("host").orderBy("priority", "discovered_seq")
-        sel = elig.withColumn("rn", F.row_number().over(wk)).filter(F.col("rn") <= cfg.per_host_k).drop("rn")
-        if budget_left is not None:
-            sel = sel.orderBy("priority", "discovered_seq").limit(int(budget_left))
-        # two-phase global fetch_seq over (priority, discovered_seq):
-        # priority + a range-bucket of discovered_seq is a monotone
-        # coarsening of the batch order, so assignment stays parallel
-        # (plans/seq.py) — no single-partition window over the batch.
-        # sel is persisted so the count and row_number branches share
-        # one evaluation of the eligibility subplan.
-        db = max(1, int(ctr["next_seq"]) // 4096)
-        sel = sel.withColumn(
-            "_db", (F.col("discovered_seq") / F.lit(db)).cast("long")).persist()
-        batch = with_global_seq(
-            sel, ["priority", "_db"], ["discovered_seq"],
-            "fetch_seq", start=int(ctr["next_fetch_seq"]),
-        ).drop("_db")
 
         # -- fetch: frontier batch ⋈ url_map ⋈ corpus (the sandbox's HTTP GET)
         # n_fetched rides an Observation on the first deep action below
