@@ -19,6 +19,15 @@ default            : time the headline queries at $SPARK_GRAFT_SF_DIR
                      brief / BASELINE.json north_rule (>= 0.8 target),
                      and write BENCH/BASELINE.md.
 
+--frontier         : drive the engine's schedule_batch over a synthetic
+                     heavy-tailed 10^8-row frontier (spark.range, no
+                     fixtures) and report frontier URLs/sec — the
+                     north-rule frontier metric at stress scale
+                     (BENCH/FRONTIER.md).
+--soak [--xlarge]  : the same BSP crawl loop at growing per-round batch
+                     sizes — fixed-cost amortization evidence
+                     (BENCH/SOAK.md).
+
 Everything is deterministic (seeded); no wall-clock enters any result,
 only the measurement timer.
 """
