@@ -290,6 +290,66 @@ def run_frontier_stress(rows: int, hosts: int, k: int, cores: int) -> None:
     }))
 
 
+# ----------------------------------------------------------- seen stress
+
+def run_seen_stress(rows: int, seen_n: int, cores: int) -> None:
+    """The URL-seen check at stress scale: filter_new_urls — the ENGINE's
+    seen-membership path — over 10^8 synthetic candidates against a
+    10^7-row seen table, exact anti-join vs Bloom-sketch-routed, same
+    inputs, results asserted identical. Candidates with id % (rows //
+    seen_n) == 0 are seen (a 10% hit rate at the defaults: the steady
+    state of a crawl where most discovered links are new). The sketch
+    path's claim is measured, not assumed: suspects (= rows that pay
+    the anti-join shuffle) are counted, and both walls are reported."""
+    from pyspark.sql import functions as F
+
+    from web_crawler_spark.core import bloom
+    from web_crawler_spark.plans.crawl import filter_new_urls
+    from web_crawler_spark.session import get_spark
+
+    spark = get_spark(app="wcs-seen", cores=cores,
+                      shuffle_partitions=max(cores * 4, 32))
+    stride = max(rows // seen_n, 1)
+    url = F.concat(F.lit("http://h"), (F.pmod(F.col("id"), F.lit(9973))).cast("string"),
+                   F.lit(".example/p/"), F.col("id").cast("string"))
+    cand = spark.range(0, rows, 1, 256).select(
+        F.xxhash64(url).alias("url_hash"), url.alias("canon_url"))
+    seen = spark.range(0, rows, stride, 64).select(
+        F.xxhash64(url).alias("url_hash"), url.alias("canon_url"))
+
+    t0 = time.perf_counter()
+    exact = filter_new_urls(cand, seen)
+    _materialize(exact)
+    t_exact = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    # ~10 bits/key for the seen set: FPR < 1%, 16 MiB broadcast at 10^7
+    m_bits = 1 << max(int(seen_n).bit_length() + 3, 22)
+    sketch = bloom.build_sketch(seen.select("url_hash"), m_bits)
+    t_build = round(time.perf_counter() - t0, 3)
+    maybe = bloom.contains_udf(spark, sketch, m_bits)
+    t0 = time.perf_counter()
+    routed = filter_new_urls(cand, seen, maybe_udf=maybe)
+    _materialize(routed)
+    t_routed = round(time.perf_counter() - t0, 3)
+    # diagnostic, untimed: how many rows paid the anti-join shuffle
+    n_suspects = (cand.withColumn("_maybe", maybe("url_hash"))
+                  .filter("_maybe").count())
+
+    n_exact, n_routed = exact.count(), routed.count()
+    assert n_exact == n_routed, (n_exact, n_routed)
+    print(json.dumps({
+        "metric": "URL-seen check at stress scale: exact anti-join vs "
+                  "Bloom-routed (identical results asserted)",
+        "candidates": rows, "seen": seen.count(), "new": n_exact,
+        "cores": cores, "exact_sec": t_exact,
+        "sketch_build_sec": t_build, "routed_sec": t_routed,
+        "suspects": n_suspects,
+        "antijoin_rows_saved_frac": round(1 - n_suspects / rows, 4),
+        "speedup_vs_exact": round(t_exact / t_routed, 2),
+    }))
+
+
 # ------------------------------------------------------------- scale job
 
 def run_scale_job(cores: int, rows: int) -> None:
@@ -516,5 +576,8 @@ if __name__ == "__main__":
         run_frontier_stress(_flag("--rows", 100_000_000),
                             _flag("--hosts", 1_000_000),
                             _flag("--k", 16), _flag("--cores", CPUS))
+    elif "--seen" in args:
+        run_seen_stress(_flag("--rows", 100_000_000),
+                        _flag("--seen-n", 10_000_000), _flag("--cores", CPUS))
     else:
         run_headline()

@@ -64,16 +64,22 @@ def merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 
 def contains_udf(spark, packed: np.ndarray, m_bits: int = 1 << 22, k: int = 4):
-    """pandas_udf(boolean): may the hash be in the set? False is exact."""
+    """pandas_udf(boolean): may the hash be in the set? False is exact.
+
+    Probes the PACKED byte array in place (np.packbits is MSB-first:
+    bit ``pos`` lives in ``byte[pos >> 3]`` under mask
+    ``1 << (7 - (pos & 7))``) — no per-batch unpack: at production
+    sketch sizes (2^27+ bits for 10^7 keys) unpacking the whole
+    bitarray per Arrow batch would cost more than the probe itself."""
     bc = spark.sparkContext.broadcast(packed.tobytes())
 
     @F.pandas_udf("boolean")
     def maybe_seen(hashes: pd.Series) -> pd.Series:
-        bits = np.unpackbits(np.frombuffer(bc.value, dtype=np.uint8)).astype(bool)
+        bits = np.frombuffer(bc.value, dtype=np.uint8)
         h = hashes.to_numpy(np.int64).view(np.uint64)
         hit = np.ones(len(h), dtype=bool)
         for pos in _positions(h, m_bits, k):
-            hit &= bits[pos]
+            hit &= (bits[pos >> 3] >> (7 - (pos & 7)) & 1).astype(bool)
         return pd.Series(hit)
 
     return maybe_seen

@@ -164,6 +164,30 @@ def schedule_batch(frontier, host_next, r: int, cfg: CrawlConfig, *,
     return batch, sel
 
 
+def filter_new_urls(cand, seen_tbl, maybe_udf=None):
+    """The URL-seen membership filter, standalone: keep rows of ``cand``
+    whose (url_hash, canon_url) is NOT in ``seen_tbl``.
+
+    Equi-join keyed on the int64 url_hash FIRST, canon_url second —
+    partitioning/sort comparisons resolve on the 8-byte hash; the
+    string equality is the exactness residual (a hash collision can
+    never mark a genuinely-new URL as seen).
+
+    With ``maybe_udf`` (a broadcast Bloom/cuckoo sketch probe, §4.3)
+    the check is sketch-ROUTED: sketch misses are provably new and SKIP
+    the anti-join entirely; only suspected-seen rows
+    (~|seen∩cand| + FPR·|cand|) pay the shuffle. The two branches are
+    disjoint, so exactness is preserved. Used by
+    ``CrawlEngine._run_round`` every round and stressed at 10^8
+    candidates by ``bench.py --seen`` (BENCH/FRONTIER.md)."""
+    keys = ["url_hash", "canon_url"]
+    if maybe_udf is None:
+        return cand.join(seen_tbl, keys, "left_anti")
+    fh = cand.withColumn("_maybe", maybe_udf("url_hash"))
+    suspects = fh.filter("_maybe").join(seen_tbl, keys, "left_anti")
+    return fh.filter(~F.col("_maybe")).unionByName(suspects).drop("_maybe")
+
+
 class CrawlEngine:
     def __init__(self, spark: SparkSession, fix_dir: str, run_dir: str,
                  cfg: CrawlConfig = CrawlConfig()):
@@ -510,23 +534,10 @@ class CrawlEngine:
 
         wdisc = Window.partitionBy("url_hash", "canon_url").orderBy("fetch_seq", "link_pos")
         first = disc.withColumn("rn", F.row_number().over(wdisc)).filter("rn = 1").drop("rn")
-        # seen membership: equi-join keyed on the int64 url_hash FIRST,
-        # canon_url second — partitioning/sort comparisons resolve on the
-        # hash; the string equality is the exactness residual (a hash
-        # collision can never mark a genuinely-new URL as seen)
         seen_tbl = cat.read("seen").select("url_hash", "canon_url")
-        if cfg.bloom_prefilter:
-            # Bloom-routed seen check (§4.3): sketch misses are provably
-            # new and SKIP the anti-join entirely; only suspected-seen
-            # rows (~|seen∩cand| + FPR·|cand|) pay the shuffle. The two
-            # branches are disjoint, so exactness is preserved.
-            maybe = self._sketch_udf()
-            fh = first.withColumn("_maybe", maybe("url_hash"))
-            suspects = (fh.filter("_maybe")
-                        .join(seen_tbl, ["url_hash", "canon_url"], "left_anti"))
-            new = fh.filter(~F.col("_maybe")).unionByName(suspects).drop("_maybe")
-        else:
-            new = first.join(seen_tbl, ["url_hash", "canon_url"], "left_anti")
+        new = filter_new_urls(
+            first, seen_tbl,
+            maybe_udf=self._sketch_udf() if cfg.bloom_prefilter else None)
         new = (
             new.join(F.broadcast(self.robots.select("host", "disallow", "allow")),
                      "host", "left")
