@@ -193,11 +193,14 @@ def contains_udf(spark, cf: "CuckooFilter"):
     from pyspark.sql import functions as F
 
     bc = spark.sparkContext.broadcast((cf.to_bytes(), cf.n_buckets))
+    cache: dict = {}  # per-worker: rebuild the table once, not per batch
 
     @F.pandas_udf("boolean")
     def maybe_seen(hashes: pd.Series) -> pd.Series:
-        data, nb = bc.value
-        local = CuckooFilter.from_bytes(data, nb)
+        local = cache.get("cf")
+        if local is None:
+            data, nb = bc.value
+            local = cache["cf"] = CuckooFilter.from_bytes(data, nb)
         return pd.Series(local.contains(hashes.to_numpy(np.int64)))
 
     return maybe_seen
