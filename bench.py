@@ -292,7 +292,8 @@ def run_frontier_stress(rows: int, hosts: int, k: int, cores: int) -> None:
 
 # ----------------------------------------------------------- seen stress
 
-def run_seen_stress(rows: int, seen_n: int, cores: int) -> None:
+def run_seen_stress(rows: int, seen_n: int, cores: int,
+                    sketch_kind: str = "bloom") -> None:
     """The URL-seen check at stress scale: filter_new_urls — the ENGINE's
     seen-membership path — over 10^8 synthetic candidates against a
     10^7-row seen table, exact anti-join vs Bloom-sketch-routed, same
@@ -323,11 +324,19 @@ def run_seen_stress(rows: int, seen_n: int, cores: int) -> None:
     t_exact = round(time.perf_counter() - t0, 3)
 
     t0 = time.perf_counter()
-    # ~10 bits/key for the seen set: FPR < 1%, 16 MiB broadcast at 10^7
-    m_bits = 1 << max(int(seen_n).bit_length() + 3, 22)
-    sketch = bloom.build_sketch(seen.select("url_hash"), m_bits)
+    if sketch_kind == "cuckoo":
+        from web_crawler_spark.core import cuckoo
+        # 4 slots/bucket, load < 0.6 at seen_n: same sizing rule as
+        # CrawlConfig.cuckoo_buckets scaled to the stress set
+        n_buckets = 1 << max(int(seen_n).bit_length() - 1, 14)
+        cf = cuckoo.build_sketch(seen.select("url_hash"), n_buckets)
+        maybe = cuckoo.contains_udf(spark, cf)
+    else:
+        # ~10 bits/key for the seen set: FPR < 1%, 16 MiB broadcast at 10^7
+        m_bits = 1 << max(int(seen_n).bit_length() + 3, 22)
+        sketch = bloom.build_sketch(seen.select("url_hash"), m_bits)
+        maybe = bloom.contains_udf(spark, sketch, m_bits)
     t_build = round(time.perf_counter() - t0, 3)
-    maybe = bloom.contains_udf(spark, sketch, m_bits)
     t0 = time.perf_counter()
     routed = filter_new_urls(cand, seen, maybe_udf=maybe)
     _materialize(routed)
@@ -340,7 +349,8 @@ def run_seen_stress(rows: int, seen_n: int, cores: int) -> None:
     assert n_exact == n_routed, (n_exact, n_routed)
     print(json.dumps({
         "metric": "URL-seen check at stress scale: exact anti-join vs "
-                  "Bloom-routed (identical results asserted)",
+                  "sketch-routed (identical results asserted)",
+        "sketch": sketch_kind,
         "candidates": rows, "seen": seen.count(), "new": n_exact,
         "cores": cores, "exact_sec": t_exact,
         "sketch_build_sec": t_build, "routed_sec": t_routed,
@@ -577,7 +587,9 @@ if __name__ == "__main__":
                             _flag("--hosts", 1_000_000),
                             _flag("--k", 16), _flag("--cores", CPUS))
     elif "--seen" in args:
+        kind = args[args.index("--sketch") + 1] if "--sketch" in args else "bloom"
         run_seen_stress(_flag("--rows", 100_000_000),
-                        _flag("--seen-n", 10_000_000), _flag("--cores", CPUS))
+                        _flag("--seen-n", 10_000_000), _flag("--cores", CPUS),
+                        sketch_kind=kind)
     else:
         run_headline()
