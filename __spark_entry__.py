@@ -74,7 +74,9 @@ _SQL_CHECKED = {
     "pivot": (Q.q_pivot, Q.SQL_PIVOT),
     # training-data pipeline (SQL-expressible part)
     "dedup_exact": (Q.q_dedup_exact, Q.SQL_DEDUP_EXACT),
-    "token_count": (Q.q_token_count, Q.SQL_TOKEN_COUNT),
+    # combined with the T23 decontamination columns (q_decontaminate) —
+    # same fold pattern as text_quality/T22
+    "token_count": (Q.q_token_count_driver, Q.SQL_TOKEN_COUNT_DRIVER),
     # combined with the T22 repetition filters (q_repetition_quality) —
     # same fold pattern, one row witnesses both families
     "text_quality": (Q.q_text_quality_driver, Q.SQL_TEXT_QUALITY_DRIVER),

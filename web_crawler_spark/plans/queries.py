@@ -865,6 +865,95 @@ FROM documents
 """
 
 
+def _shingle3_hashes(d):
+    """doc_id × distinct int64-hashed 3-gram shingles (the shared
+    tokenization of ngram_jaccard / decontaminate)."""
+    words = F.split(F.col("text"), " ")
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(words) - 3, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, 3)),
+        )
+    )
+    return (d.select("doc_id", F.explode(sh).alias("sh_str"))
+            .select("doc_id", F.xxhash64("sh_str").alias("shingle")))
+
+
+def q_decontaminate(spark, sf, min_shared: int = 2):
+    """T23: benchmark decontamination — the training-pipeline step that
+    drops corpus documents overlapping an eval/benchmark set. The
+    benchmark here is the deterministic subset doc_id % 97 == 0; a doc
+    is contaminated when it shares >= min_shared distinct 3-gram
+    shingles with any benchmark doc.
+
+    Scale shape: the benchmark shingle set is tiny relative to the
+    corpus (eval suites are MBs, corpora are TBs), so it BROADCASTS —
+    corpus shingles stream through a broadcast hash join and the only
+    shuffle is the per-doc count's partial-aggregated doc_id combine.
+    Shingles compare by int64 xxhash64 (8-byte keys, same trick as
+    ngram_jaccard)."""
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    ex = _shingle3_hashes(d)
+    bench = (ex.filter(F.col("doc_id") % 97 == 0)
+             .select("shingle").distinct())
+    corp = ex.filter(F.col("doc_id") % 97 != 0)
+    return (
+        corp.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared_shingles"))
+        .filter(F.col("n_shared_shingles") >= min_shared)
+    )
+
+SQL_DECONTAMINATE = """
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct([array_to_string(words[i:i+2], ' ')
+         FOR i IN range(1, greatest(len(words) - 2, 1) + 1)])) AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+), bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+corp AS (SELECT * FROM sh WHERE doc_id % 97 != 0)
+SELECT doc_id, count(*) AS n_shared_shingles
+FROM corp JOIN bench USING (shingle)
+GROUP BY doc_id HAVING count(*) >= 2
+"""
+
+
+def q_token_count_driver(spark, sf):
+    """Driver key `token_count`: token/fingerprint metrics plus the T23
+    decontamination columns, left-joined on doc_id (same 50-key-budget
+    fold pattern as text_quality/T22). Benchmark docs themselves are
+    flagged, not dropped, so the row count stays the full table."""
+    tc = q_token_count(spark, sf)
+    shared = q_decontaminate(spark, sf, min_shared=1)
+    return (
+        tc.join(shared, "doc_id", "left")
+        .select(
+            tc["*"],
+            F.coalesce("n_shared_shingles", F.lit(0)).alias("n_shared_shingles"),
+            (F.col("doc_id") % 97 == 0).alias("is_benchmark"),
+            (F.coalesce("n_shared_shingles", F.lit(0)) >= 2).alias("contaminated"),
+        )
+    )
+
+SQL_TOKEN_COUNT_DRIVER = f"""
+WITH tc AS ({SQL_TOKEN_COUNT}),
+shared AS (
+  WITH sh AS (
+    SELECT doc_id, unnest(list_distinct([array_to_string(words[i:i+2], ' ')
+           FOR i IN range(1, greatest(len(words) - 2, 1) + 1)])) AS shingle
+    FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+  ), bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0)
+  SELECT doc_id, count(*) AS n_shared_shingles
+  FROM sh JOIN bench USING (shingle)
+  WHERE doc_id % 97 != 0
+  GROUP BY doc_id
+)
+SELECT tc.*, coalesce(shared.n_shared_shingles, 0) AS n_shared_shingles,
+       tc.doc_id % 97 = 0 AS is_benchmark,
+       coalesce(shared.n_shared_shingles, 0) >= 2 AS contaminated
+FROM tc LEFT JOIN shared ON tc.doc_id = shared.doc_id
+"""
+
+
 def q_text_quality(spark, sf):
     """Quality scoring + the array/collection surface it rides on
     (absorbs the former `array_functions` key: distinct/sort/intersect/
@@ -1029,19 +1118,11 @@ def q_ngram_jaccard(spark, sf, df_split: int = 64):
     df_split knob trades row-local expansion against join shuffle — at
     100 TB you'd raise it until the p99 posting array is ~1 MB."""
     d = _t(spark, sf, "documents").select("doc_id", "text")
-    words = F.split(F.col("text"), " ")
-    sh = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(words) - 3, F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(words, i + 1, 3)),
-        )
-    )
     # shingles join/aggregate on their int64 xxhash64, not the raw
     # string — the shuffle carries 8-byte keys instead of ~20-byte
     # text (intersection counts are unchanged short of a 64-bit
     # collision among a document pair's shingles)
-    ex = (d.select("doc_id", F.explode(sh).alias("sh_str"))
-          .select("doc_id", F.xxhash64("sh_str").alias("shingle")))
+    ex = _shingle3_hashes(d)
     sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     post = (ex.groupBy("shingle")
             .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
