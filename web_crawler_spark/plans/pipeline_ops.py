@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F, types as T
 
 from web_crawler_spark.functions.udfs import caption_bands_udf, jaccard3_udf
+from web_crawler_spark.plans.seq import with_global_prefix_sum
 
 
 def _docs(spark, sf):
@@ -663,3 +664,44 @@ def pagerank_df(edges: DataFrame, iters: int = 10, damping: float = 0.85,
         ranks = new_ranks.localCheckpoint(eager=True)
     base.unpersist()
     return ranks
+
+
+# --------------------------------------------------------- T24: packing
+
+def pack_sequences_df(docs: DataFrame, ctx_len: int,
+                      bucket_size: int = 4096) -> DataFrame:
+    """T24: sequence packing — the pretraining dataloader step that
+    concatenates documents in a deterministic order and splits the
+    token stream into fixed ``ctx_len`` windows. Returns one row per
+    (doc, bin) SEGMENT: ``doc_id, n_tok, bin_id, seg_start, seg_len``
+    where seg_start is the token offset INSIDE the doc; a doc crossing
+    a window boundary contributes a segment to each bin it spans, every
+    bin except the last holds exactly ctx_len tokens, and no token is
+    dropped or duplicated.
+
+    Scale shape: the running token total over the whole corpus is a
+    two-phase windowless prefix sum (plans/seq.py
+    ``with_global_prefix_sum`` — range-bucketed window + packed-array
+    bucket offsets; nothing funnels through one task even at billions
+    of docs), and the bin explosion is a per-row JVM ``sequence`` whose
+    length is the doc's own span (≤ n_tok/ctx_len + 1) — no driver
+    loop, no Python."""
+    d = (docs.select(
+            "doc_id",
+            F.regexp_count("text", F.lit(r"\S+")).cast("long").alias("n_tok"))
+         .filter(F.col("n_tok") > 0)
+         .withColumn("_b", (F.col("doc_id") / F.lit(bucket_size)).cast("long")))
+    d = with_global_prefix_sum(d, ["_b"], ["doc_id"], "n_tok", "tok_start")
+    b0 = (F.col("tok_start") / ctx_len).cast("long")
+    b1 = ((F.col("tok_start") + F.col("n_tok") - 1) / ctx_len).cast("long")
+    segs = (
+        d.select("doc_id", "n_tok", "tok_start",
+                 F.explode(F.sequence(b0, b1)).alias("bin_id"))
+        .withColumn("seg_start",
+                    F.greatest(F.col("bin_id") * ctx_len - F.col("tok_start"),
+                               F.lit(0)))
+        .withColumn("seg_len",
+                    F.least((F.col("bin_id") + 1) * ctx_len - F.col("tok_start"),
+                            F.col("n_tok")) - F.col("seg_start"))
+    )
+    return segs.select("doc_id", "n_tok", "bin_id", "seg_start", "seg_len")

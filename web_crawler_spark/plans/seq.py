@@ -118,3 +118,58 @@ def with_global_seq(
         )
         .drop("_brn", "_boff")
     )
+
+
+def with_global_prefix_sum(
+    df: DataFrame,
+    bucket_cols: list[str],
+    order_cols: list[str],
+    val_col: str,
+    out_col: str,
+    start: int = 0,
+) -> DataFrame:
+    """Add ``out_col`` = EXCLUSIVE global prefix sum of ``val_col`` over
+    ``df`` ordered by (*bucket_cols, *order_cols) — with_global_seq
+    generalized from counting rows to summing a value (the row-count
+    case is val_col = 1). Same contract: bucket_cols must be a monotone
+    coarsening of the order and the full key must totally order rows;
+    same two-phase shape: a bucket-partitioned running-sum window, then
+    per-bucket totals packed into one sorted array, exclusive-prefix-
+    summed windowlessly, and broadcast-joined back. Used by sequence
+    packing (pipeline_ops.pack_sequences_df), where the running token
+    total over billions of docs must never funnel through one task."""
+    w_in = Window.partitionBy(*bucket_cols).orderBy(*order_cols)
+    local = df.withColumn(
+        "_lps",
+        F.sum(val_col).over(w_in).cast("long") - F.col(val_col).cast("long"),
+    )
+    totals = df.groupBy(*bucket_cols).agg(
+        F.sum(F.col(val_col).cast("long")).alias("_bn"))
+    packed = totals.agg(
+        F.array_sort(
+            F.collect_list(F.struct(*[F.col(c) for c in bucket_cols], F.col("_bn")))
+        ).alias("_arr")
+    )
+    offs = (
+        packed.select(
+            F.explode(
+                F.transform(
+                    F.col("_arr"),
+                    lambda x, i: F.struct(
+                        *[x[c].alias(c) for c in bucket_cols],
+                        F.aggregate(
+                            F.slice(F.col("_arr"), F.lit(1), i),
+                            F.lit(0).cast("long"),
+                            lambda acc, y: acc + y["_bn"],
+                        ).alias("_boff"),
+                    ),
+                )
+            ).alias("_s")
+        )
+        .select("_s.*")
+    )
+    return (
+        local.join(F.broadcast(offs), bucket_cols)
+        .withColumn(out_col, F.col("_lps") + F.col("_boff") + F.lit(start))
+        .drop("_lps", "_boff")
+    )
