@@ -24,6 +24,11 @@ default            : time the headline queries at $SPARK_GRAFT_SF_DIR
                      fixtures) and report frontier URLs/sec — the
                      north-rule frontier metric at stress scale
                      (BENCH/FRONTIER.md).
+--seen [--sketch bloom|cuckoo] : the URL-seen check at 10^8 candidates,
+                     exact anti-join vs sketch-routed, identical
+                     results asserted (BENCH/FRONTIER.md).
+--pack             : sequence packing at 10^8 docs — the two-phase
+                     global prefix sum + bin explosion at stress scale.
 --soak [--xlarge]  : the same BSP crawl loop at growing per-round batch
                      sizes — fixed-cost amortization evidence
                      (BENCH/SOAK.md).
@@ -360,6 +365,45 @@ def run_seen_stress(rows: int, seen_n: int, cores: int,
     }))
 
 
+# ----------------------------------------------------------- pack stress
+
+def run_pack_stress(rows: int, ctx_len: int, cores: int) -> None:
+    """Sequence packing (T24) at stress scale: pack 10^8 synthetic docs
+    (deterministic token counts, no text materialized) into ctx_len
+    windows through pipeline_ops.pack_sequences_df and verify token
+    conservation distributed. Exercises with_global_prefix_sum's
+    two-phase shape at a bucket count sized like the engine's db rule
+    (~rows/2048 per bucket → ~2k packed offsets)."""
+    from pyspark.sql import functions as F
+
+    from web_crawler_spark.plans.pipeline_ops import pack_sequences_df
+    from web_crawler_spark.session import get_spark
+
+    spark = get_spark(app="wcs-pack", cores=cores,
+                      shuffle_partitions=max(cores * 4, 32))
+    docs = spark.range(0, rows, 1, 256).select(
+        F.col("id").alias("doc_id"),
+        (F.lit(50) + F.pmod(F.xxhash64("id"), F.lit(300))).alias("n_tok"))
+    segs = pack_sequences_df(docs, ctx_len,
+                             bucket_size=max(rows // 2048, 4096),
+                             tok_col="n_tok")
+    t0 = time.perf_counter()
+    _materialize(segs)
+    wall = round(time.perf_counter() - t0, 3)
+    total_in = docs.agg(F.sum("n_tok")).first()[0]
+    total_out = segs.agg(F.sum("seg_len")).first()[0]
+    assert total_in == total_out, (total_in, total_out)
+    n_segs = segs.count()
+    print(json.dumps({
+        "metric": "sequence-packing docs/sec at stress scale "
+                  "(token conservation asserted)",
+        "docs": rows, "ctx_len": ctx_len, "cores": cores,
+        "segments": n_segs, "tokens": int(total_out),
+        "elapsed_sec": wall, "docs_per_sec": round(rows / wall, 1),
+        "tokens_per_sec": round(total_out / wall, 1),
+    }))
+
+
 # ------------------------------------------------------------- scale job
 
 def run_scale_job(cores: int, rows: int) -> None:
@@ -591,5 +635,8 @@ if __name__ == "__main__":
         run_seen_stress(_flag("--rows", 100_000_000),
                         _flag("--seen-n", 10_000_000), _flag("--cores", CPUS),
                         sketch_kind=kind)
+    elif "--pack" in args:
+        run_pack_stress(_flag("--rows", 100_000_000),
+                        _flag("--ctx", 2048), _flag("--cores", CPUS))
     else:
         run_headline()

@@ -669,7 +669,8 @@ def pagerank_df(edges: DataFrame, iters: int = 10, damping: float = 0.85,
 # --------------------------------------------------------- T24: packing
 
 def pack_sequences_df(docs: DataFrame, ctx_len: int,
-                      bucket_size: int = 4096) -> DataFrame:
+                      bucket_size: int = 4096,
+                      tok_col: str | None = None) -> DataFrame:
     """T24: sequence packing — the pretraining dataloader step that
     concatenates documents in a deterministic order and splits the
     token stream into fixed ``ctx_len`` windows. Returns one row per
@@ -685,10 +686,18 @@ def pack_sequences_df(docs: DataFrame, ctx_len: int,
     bucket offsets; nothing funnels through one task even at billions
     of docs), and the bin explosion is a per-row JVM ``sequence`` whose
     length is the doc's own span (≤ n_tok/ctx_len + 1) — no driver
-    loop, no Python."""
-    d = (docs.select(
-            "doc_id",
-            F.regexp_count("text", F.lit(r"\S+")).cast("long").alias("n_tok"))
+    loop, no Python.
+
+    ``tok_col`` supplies a precomputed token count (skips the regexp
+    over text — e.g. when token counts are already materialized, or in
+    bench.py --pack's synthetic stress). ``bucket_size`` must keep the
+    BUCKET COUNT (n_docs / bucket_size) in the low thousands: the
+    packed offset array's prefix pass is O(B²) inside one task, so at
+    10^8+ docs size it as ~n_docs/2048, exactly like the crawl engine's
+    db sizing."""
+    n_tok = (F.col(tok_col).cast("long") if tok_col is not None
+             else F.regexp_count("text", F.lit(r"\S+")).cast("long"))
+    d = (docs.select("doc_id", n_tok.alias("n_tok"))
          .filter(F.col("n_tok") > 0)
          .withColumn("_b", (F.col("doc_id") / F.lit(bucket_size)).cast("long")))
     d = with_global_prefix_sum(d, ["_b"], ["doc_id"], "n_tok", "tok_start")
