@@ -607,6 +607,47 @@ def q_balanced_sample(spark, sf):
     return balanced_sample_df(d, "lang", k=24)
 
 
+def mixture_sample_df(d: DataFrame, strata_col: str, weights: dict,
+                      total: int, seed: int = 20260817) -> DataFrame:
+    """T25: mixture sampling — draw EXACTLY ``total`` rows distributed
+    across strata in the target ``weights`` proportions (the data-mixing
+    step of a training recipe: e.g. 60% web / 30% code / 10% reference).
+
+    Per-stratum take counts come from largest-remainder apportionment
+    (floor each w_s*total, hand leftover seats to the largest
+    fractional parts, ties by stratum name) computed driver-side from
+    the CONSTANT weights dict — no data-dependent driver work. Rows
+    within a stratum are chosen by deterministic hash rank
+    (xxhash64(doc_id, seed)); the per-stratum top-k lowers to
+    WindowGroupLimit like balanced_sample_df: one shuffle on the
+    stratum key, skew-safe because the take count bounds every
+    stratum's output. A stratum smaller than its quota yields all its
+    rows (reported short — mirroring how real mixes handle exhausted
+    sources); quotas for strata absent from ``weights`` are zero."""
+    wsum = float(sum(weights.values()))
+    fracs = {s: w / wsum * total for s, w in weights.items()}
+    quota = {s: int(f) for s, f in fracs.items()}
+    leftover = total - sum(quota.values())
+    for s in sorted(fracs, key=lambda s: (-(fracs[s] - quota[s]), s))[:leftover]:
+        quota[s] += 1
+    qdf = F.create_map(*[x for s, q in sorted(quota.items())
+                         for x in (F.lit(s), F.lit(q))])
+    w = W.partitionBy(strata_col).orderBy(
+        F.xxhash64("doc_id", F.lit(seed)), "doc_id")
+    max_q = int(max(quota.values(), default=0))
+    return (
+        d.withColumn("_q", qdf[F.col(strata_col)])
+        .filter(F.col("_q").isNotNull())
+        .withColumn("_rk", F.row_number().over(w))
+        # the LITERAL bound (largest quota) lowers to WindowGroupLimit —
+        # per-stratum rank computation stops at max_q; the per-stratum
+        # variable quota then trims within that bound
+        .filter(F.col("_rk") <= F.lit(max_q))
+        .filter(F.col("_rk") <= F.col("_q"))
+        .drop("_rk", "_q")
+    )
+
+
 # ------------------------------------------------------------- PageRank
 
 def pagerank_df(edges: DataFrame, iters: int = 10, damping: float = 0.85,
