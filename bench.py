@@ -541,12 +541,15 @@ def run_scaling(rows: int, n_lo: int = 8, n_hi: int = 32,
                 attempts: int = 2) -> None:
     # The hypervisor's granted-cycle ratio swings 2-5x between windows,
     # and raw efficiency tracks it almost exactly (r2/r3 evidence). Run
-    # the whole protocol several times and HEADLINE the attempt whose
-    # hardware CONTROL was quietest — selection keys on the spin probe,
-    # never on the engine's own numbers, so it cannot cherry-pick the
-    # engine. Every attempt is still reported.
+    # the whole protocol several times and headline the MEDIAN attempt by
+    # the hardware control (ADVICE r3: picking the quietest window
+    # selects on a variable correlated with raw_eff and biases the
+    # headlined raw number upward by construction; the median does not).
+    # For even attempt counts the LOWER middle is taken — conservative,
+    # never flattering. Every attempt is still tabled, raw + normalized.
     runs = [_scaling_attempt(rows, n_lo, n_hi) for _ in range(max(1, attempts))]
-    pick = max(runs, key=lambda a: a["hw_ratio"])
+    by_hw = sorted(runs, key=lambda a: a["hw_ratio"])
+    pick = by_hw[(len(by_hw) - 1) // 2]
     spin_lo, spin_hi, hw_ratio = pick["spin_lo"], pick["spin_hi"], pick["hw_ratio"]
     results, raw_eff, sw_eff = pick["results"], pick["raw_eff"], pick["sw_eff"]
     thr_lo, thr_hi = results[n_lo]["rows_per_sec"], results[n_hi]["rows_per_sec"]
@@ -594,8 +597,12 @@ engine's own scaling is reported both raw and normalized by this cap.
 ## All attempts this measurement
 
 The full protocol ran {len(runs)} time(s); the headlined attempt is the
-one whose hardware CONTROL (spin probe) was quietest — selection never
-looks at the engine's own numbers, so it cannot cherry-pick the engine.
+MEDIAN by the hardware control (lower middle on even counts) — selection
+never looks at the engine's own numbers, and the median of the control
+does not bias the headlined raw number upward the way best-window
+selection would (raw efficiency is correlated with the granted-cycle
+ratio). The normalized software efficiency is the comparable figure
+across windows; raw efficiency per attempt is tabled for transparency.
 
 | attempt | granted-cycle ratio | raw eff | software eff |
 |---|---|---|---|

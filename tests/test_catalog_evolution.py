@@ -126,6 +126,30 @@ def test_merge_staged_until_commit(spark, tmp_path):
     assert got["val"].tolist() == ["A", "b"]
 
 
+def test_merge_refuses_staged_uncommitted_writes(spark, tmp_path):
+    """ADVICE r3: append-then-merge-before-commit would silently orphan
+    the staged append (merge reads only the committed manifest and
+    commit's replace-wins rule collapses the append list). The catalog
+    must refuse instead of quietly losing data."""
+    cat = _cat(spark, tmp_path)
+    cat.append("t", _rows(spark, [(1, "a")]), partitions=1)
+    cat.commit(0, {})
+    # staged append in the current window → merge must refuse
+    cat.append("t", _rows(spark, [(2, "b")]), partitions=1)
+    with pytest.raises(RuntimeError, match="staged uncommitted"):
+        cat.merge("t", _rows(spark, [(1, "A")]), on="id")
+    cat.commit(1, {})
+    # after commit the same merge goes through and sees BOTH rows
+    cat.merge("t", _rows(spark, [(1, "A")]), on="id")
+    cat.commit(2, {})
+    got = cat.read("t").toPandas().sort_values("id")
+    assert got["val"].tolist() == ["A", "b"]
+    # staged-replace (stage on a stage-based table) also refuses
+    cat.stage("s", _rows(spark, [(1, "x")]), partitions=1)
+    with pytest.raises(RuntimeError, match="staged uncommitted"):
+        cat.merge("s", _rows(spark, [(1, "X")]), on="id")
+
+
 def test_merge_on_stage_based_table(spark, tmp_path):
     cat = _cat(spark, tmp_path)
     cat.stage("t", _rows(spark, [(1, "a"), (2, "b")]), partitions=1)

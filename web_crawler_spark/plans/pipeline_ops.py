@@ -493,7 +493,7 @@ def q_multimodal_av(spark, sf):
 # ------------------------------------- near-dup clustering (connected comps)
 
 def dup_clusters_df(edges: DataFrame, src: str = "a_id", dst: str = "b_id",
-                    max_iters: int = 15) -> DataFrame:
+                    max_iters: int = 15, strict: bool = True) -> DataFrame:
     """Connected components over a near-dup pair graph → (doc_id, rep)
     where rep is the component's min id — the step every corpus-scale
     dedup actually needs AFTER pair generation (pairs alone can't answer
@@ -524,6 +524,7 @@ def dup_clusters_df(edges: DataFrame, src: str = "a_id", dst: str = "b_id",
                 F.least("u", "nbr_min").alias("rep"))
         .localCheckpoint(eager=True)
     )
+    changed = 0
     for _ in range(max_iters):
         # propagate: candidate label for v is min over {rep(u) : u~v} ∪ {rep(v)}
         prop = (
@@ -558,6 +559,19 @@ def dup_clusters_df(edges: DataFrame, src: str = "a_id", dst: str = "b_id",
         if changed == 0:
             break
     e.unpersist()
+    if changed != 0:
+        # never return partially-merged components silently: a caller
+        # selecting "one keeper per rep" would keep several rows per true
+        # component with no signal. Pointer jumping converges in
+        # O(log diameter) rounds, so max_iters=15 covers any graph a
+        # near-dup pipeline produces; hitting it means the input is
+        # adversarial — surface that.
+        msg = (f"dup_clusters_df did not converge in {max_iters} rounds "
+               f"({changed} labels still changing); raise max_iters")
+        if strict:
+            raise RuntimeError(msg)
+        import warnings
+        warnings.warn(msg, stacklevel=2)
     return labels.select(F.col("id").alias("doc_id"), "rep")
 
 
@@ -738,12 +752,17 @@ def pack_sequences_df(docs: DataFrame, ctx_len: int,
     db sizing."""
     n_tok = (F.col(tok_col).cast("long") if tok_col is not None
              else F.regexp_count("text", F.lit(r"\S+")).cast("long"))
+    # integer `div`, not double division cast back to long: float64 has 53
+    # mantissa bits, so at cumulative token totals past 2^53 (~9e15 — in
+    # range for the stated 10^10-doc contract) the double quotient rounds
+    # and bin boundaries silently shift. DIV on longs is exact at any scale.
     d = (docs.select("doc_id", n_tok.alias("n_tok"))
          .filter(F.col("n_tok") > 0)
-         .withColumn("_b", (F.col("doc_id") / F.lit(bucket_size)).cast("long")))
+         .withColumn("_b", F.expr(f"CAST(doc_id AS BIGINT) div {int(bucket_size)}")))
     d = with_global_prefix_sum(d, ["_b"], ["doc_id"], "n_tok", "tok_start")
-    b0 = (F.col("tok_start") / ctx_len).cast("long")
-    b1 = ((F.col("tok_start") + F.col("n_tok") - 1) / ctx_len).cast("long")
+    ctx = int(ctx_len)
+    b0 = F.expr(f"tok_start div {ctx}")
+    b1 = F.expr(f"(tok_start + n_tok - 1) div {ctx}")
     segs = (
         d.select("doc_id", "n_tok", "tok_start",
                  F.explode(F.sequence(b0, b1)).alias("bin_id"))

@@ -297,6 +297,20 @@ class ManifestCatalog:
         rewrite to touched partitions via pruning on the key — here the
         table is one logical partition, so the rewrite is the table."""
         on = [on] if isinstance(on, str) else list(on)
+        # merge reads only the COMMITTED table (self.read). Staged-but-
+        # uncommitted writes to the same table in this commit window would
+        # be invisible to the upsert, and commit's replace-wins rule would
+        # then silently drop them (append → merge → commit loses the
+        # append). Refuse rather than quietly lose data — commit first,
+        # then merge.
+        staged_here = (name in getattr(self, "_staged", {})
+                       or name in getattr(self, "_staged_appends", {})
+                       or name in getattr(self, "_staged_replaces", {}))
+        if staged_here:
+            raise RuntimeError(
+                f"merge({name!r}): table has staged uncommitted writes; a "
+                "merge would not see them and commit would orphan them — "
+                "commit the pending round first, then merge")
         target = self.read(name)
         kept = target.join(source.select(*on).dropDuplicates(on),
                            on=on, how="left_anti")
