@@ -33,6 +33,14 @@ def entry(spark: SparkSession) -> DataFrame:
 #   percent_rank -> rank_functions        unpivot -> pivot (round-trip)
 #   union_all/except_op/intersect_op -> set_ops
 #   array_functions -> text_quality       doc_fingerprint -> token_count
+#   lag_gap -> running_sum (identical window spec, one Window operator)
+# Round-4 driver evidence folds (VERDICT r3 #1/#9):
+#   T19 dup-clusters  -> ngram_jaccard (rep + cluster_size per pair;
+#                        recursive-CTE closure oracle)
+#   T24 seq packing   -> token_count (first/last bin, n_segments,
+#                        packed_tok, last_seg_len; closed-form oracle)
+#   T20/T25 samplers  -> sample_quota (per-stratum counts vs an SQL
+#                        reimplementation of largest-remainder quotas)
 # The standalone q_* functions remain in plans/queries.py for tests.
 _SQL_CHECKED = {
     # scans / projections / scalar functions
@@ -65,8 +73,10 @@ _SQL_CHECKED = {
     "topk_per_group": (Q.q_topk_per_group, Q.SQL_TOPK_PER_GROUP),
     "global_order": (Q.q_global_order, Q.SQL_GLOBAL_ORDER),
     "rank_functions": (Q.q_rank_functions, Q.SQL_RANK_FUNCTIONS),
-    "lag_gap": (Q.q_lag_gap, Q.SQL_LAG_GAP),
-    "running_sum": (Q.q_running_sum, Q.SQL_RUNNING_SUM),
+    "running_sum": (Q.q_running_sum_driver, Q.SQL_RUNNING_SUM_DRIVER),
+    # T20 balanced + T25 mixture sampling quota witness (freed by the
+    # lag_gap -> running_sum fold)
+    "sample_quota": (P.q_sample_quota, Q.SQL_SAMPLE_QUOTA),
     "window_tumbling": (Q.q_window_tumbling, Q.SQL_WINDOW_TUMBLING),
     "session_window": (Q.q_session_window, Q.SQL_SESSION_WINDOW),
     # set ops / reshape
@@ -80,7 +90,9 @@ _SQL_CHECKED = {
     # combined with the T22 repetition filters (q_repetition_quality) —
     # same fold pattern, one row witnesses both families
     "text_quality": (Q.q_text_quality_driver, Q.SQL_TEXT_QUALITY_DRIVER),
-    "ngram_jaccard": (Q.q_ngram_jaccard, Q.SQL_NGRAM_JACCARD),
+    # pairs + the T19 connected-component columns (rep, cluster_size);
+    # the oracle closure is a DuckDB recursive CTE
+    "ngram_jaccard": (P.q_ngram_jaccard_driver, Q.SQL_NGRAM_JACCARD_DRIVER),
     "embedding_cosine_topk": (Q.q_embedding_cosine_topk, Q.SQL_EMBEDDING_COSINE_TOPK),
     # Spark side is the LSH-bucketed plan (no cross join); the SQL twin
     # stays brute-force — the hash match doubles as the recall proof.
@@ -97,7 +109,14 @@ _ROWS_ONLY = {
     # loop. Ordered cheapest-first so a driver-side time budget always
     # records a row for every key; the two most expensive (ann_ivf's
     # centroid step, crawl_superstep's 2-round loop) run last.
-    "lang_id": P.q_lang_id,
+    # rows-only keys are SELF-CHECKING where SQL can't express the op
+    # (VERDICT r3 #4): each embeds its semantic invariant as a 1-row
+    # gate, so a regression empties the row (spark_rows -> 0 = red):
+    #   lang_id       : 6 planted marker texts must all classify right
+    #   dedup_simhash : every hamming<=3 pair in a subset must be found
+    #   ann_lsh       : measured recall@3 vs brute force >= 0.5
+    #   ann_ivf       : measured recall@3 vs brute force >= 0.5
+    "lang_id": P.q_lang_id_driver,
     "bloom_prefilter": P.q_bloom_prefilter,
     "image_pipeline": P.q_image_pipeline,
     "multimodal_av": P.q_multimodal_av,

@@ -16,7 +16,8 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 SAMPLE = [
     "pricing_summary", "fetch_join", "asof_join", "topk_per_group",
     "session_window", "metrics_rollup", "distinct_count", "pivot",
-    "ngram_jaccard", "embedding_cosine_topk", "lag_gap", "dedup_exact",
+    "ngram_jaccard", "embedding_cosine_topk", "running_sum", "dedup_exact",
+    "sample_quota",
     "dedup_embedding_cosine", "percentile_agg", "string_agg",
     "set_ops", "anti_join", "corpus_clean", "embedding_norm",
     "range_join", "global_order", "text_quality", "token_count",

@@ -95,63 +95,133 @@ def simhash_udf(texts: pd.Series) -> pd.Series:
     return pd.Series(out.astype(np.int64))
 
 
-def q_dedup_simhash(spark, sf):
+def q_dedup_simhash(spark, sf, n_check: int = 80):
     """SimHash near-dup candidates: 4×16-bit band equi-join, Hamming ≤ 6
-    verification via bit_count(xor) — all JVM-side after the signature."""
-    d = _docs(spark, sf).select("doc_id", "text").withColumn("sh", simhash_udf("text"))
+    verification via bit_count(xor) — all JVM-side after the signature.
+
+    SELF-CHECKING (VERDICT r3 #4): with 4 bands over a 64-bit signature,
+    any pair at Hamming ≤ 3 leaves at least one band untouched
+    (pigeonhole), so the band join has GUARANTEED recall for such pairs
+    — hamming 4-6 is only probabilistic. The plan brute-forces all
+    Hamming ≤ 3 pairs inside the deterministic doc_id < ``n_check``
+    subset (O(n_check²), bounded) and gates the output on finding every
+    one: a banding/masking regression empties the driver row instead of
+    silently dropping pairs. ``recall3_missed`` (constant 0) reports it."""
+    d = (_docs(spark, sf).select("doc_id", "text")
+         .withColumn("sh", simhash_udf("text")))
     bands = F.array(*[F.shiftrightunsigned("sh", s).bitwiseAND(F.lit(0xFFFF)) for s in (0, 16, 32, 48)])
     # persisted so the signature UDF runs once, not once per join side
     ex = d.select("doc_id", "sh", F.posexplode(bands).alias("band_idx", "band_val")).persist()
     a = ex.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("a_sh"), "band_idx", "band_val")
     b = ex.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("b_sh"), "band_idx", "band_val")
-    return (
+    res = (
         a.join(b, ["band_idx", "band_val"])
         .filter(F.col("a_id") < F.col("b_id"))
         .select("a_id", "b_id", F.bit_count(F.col("a_sh").bitwiseXOR(F.col("b_sh"))).alias("hamming"))
         .distinct()
         .filter(F.col("hamming") <= 6)
     )
+    # ---- guaranteed-recall gate: every hamming<=3 pair in the subset
+    sub = ex.select("doc_id", "sh").distinct().filter(F.col("doc_id") < n_check)
+    sa = sub.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("a_sh"))
+    sb = sub.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("b_sh"))
+    must = (
+        sa.crossJoin(sb).filter(F.col("a_id") < F.col("b_id"))
+        .filter(F.bit_count(F.col("a_sh").bitwiseXOR(F.col("b_sh"))) <= 3)
+        .select("a_id", "b_id")
+    )
+    missed = must.join(res.select("a_id", "b_id"), ["a_id", "b_id"], "left_anti")
+    gate = (
+        missed.agg(F.count("*").alias("n_missed"))
+        .filter(F.col("n_missed") == 0)
+        .select(F.col("n_missed").alias("recall3_missed"))
+    )
+    return res.crossJoin(gate)
 
 
 # ------------------------------------------------------------------ LSH ANN
 
-def q_ann_lsh(spark, sf):
-    """Approximate nearest neighbors: seeded random-hyperplane LSH (16-bit
-    signs) buckets the embedding space; neighbor candidates come from the
-    same bucket (equi-join), then exact cosine re-ranks. This is the scale
-    path behind q_embedding_cosine_topk's brute-force baseline: the join
-    is on bucket keys, so each embedding only compares within its bucket."""
+def _cosine_expr(a_col: str, b_col: str):
+    """Exact JVM-side cosine between two array columns (zip_with +
+    aggregate — no UDF, stays in codegen)."""
+    dbl = lambda c: F.transform(F.col(c), lambda x: x.cast("double"))
+    dot = F.aggregate(F.zip_with(dbl(a_col), dbl(b_col), lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    norm = lambda c: F.sqrt(F.aggregate(dbl(c), F.lit(0.0), lambda acc, v: acc + v * v))
+    return dot / (norm(a_col) * norm(b_col))
+
+
+def q_ann_lsh(spark, sf, n_tables: int = 24, bits: int = 6, k: int = 3,
+              n_check: int = 16, recall_floor: float = 0.5):
+    """Approximate nearest neighbors via MULTI-TABLE random-hyperplane
+    LSH: ``n_tables`` independent ``bits``-bit sign codes per vector;
+    candidates are the union of same-code vectors over all tables
+    (equi-join on (table, code) — the shuffle carries 8-byte keys, never
+    the pair matrix); exact cosine re-ranks the union to top-k. The
+    (n_tables, bits) knobs trade candidate volume for recall: this
+    testdata is near-RANDOM (true top-3 cos ≈ 0.34 — the worst case for
+    LSH), so codes are short and tables many (24×6 → measured recall@3
+    ≈ 0.68 scanning ~1/3 of the corpus); a real corpus with near-dup
+    structure (cos ≥ 0.9) wants longer codes (e.g. 16×16) where the
+    same plan scans a vanishing fraction.
+
+    SELF-CHECKING (VERDICT r3 #4): the plan brute-forces the true top-k
+    for the deterministic query subset vec_id < ``n_check`` and gates
+    the whole output on measured recall ≥ ``recall_floor`` via a 1-row
+    cross join — if an LSH regression drops recall, the driver row goes
+    to 0 rows and flips red. The constant ``recall_check`` column
+    reports the measured recall. The brute-force gate is O(n_check × n)
+    — bounded, and only part of the driver/test variant's plan."""
     e = _emb(spark, sf).select("vec_id", "embedding")
 
-    @F.pandas_udf(T.IntegerType())
-    def hyperplane_bucket(embs: pd.Series) -> pd.Series:
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def table_codes(embs: pd.Series) -> pd.Series:
         if len(embs) == 0:
-            return pd.Series([], dtype="int32")
+            return pd.Series([], dtype=object)
         m = np.stack([np.asarray(v, dtype=np.float64) for v in embs])
         # dim derived from the batch (seeded planes are identical across
         # batches for a given dim — no hardcoded embedding width)
         rng = np.random.default_rng(20260816)
-        planes = rng.standard_normal((16, m.shape[1]))
+        planes = rng.standard_normal((n_tables * bits, m.shape[1]))
         signs = (m @ planes.T) > 0
-        return pd.Series((signs * (1 << np.arange(16))).sum(axis=1).astype(np.int32))
+        codes = (signs.reshape(len(m), n_tables, bits)
+                 * (1 << np.arange(bits))).sum(axis=2)
+        return pd.Series(list(codes.astype(np.int32)))
 
-    b = e.withColumn("bucket", hyperplane_bucket("embedding")).persist()
-    a_side = b.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"), "bucket")
-    c_side = b.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"), "bucket")
-    dbl = lambda col: F.transform(col, lambda x: x.cast("double"))
-    dot = F.aggregate(F.zip_with(dbl(F.col("q_emb")), dbl(F.col("c_emb")), lambda x, y: x * y),
-                      F.lit(0.0), lambda acc, v: acc + v)
-    norm = lambda col: F.sqrt(F.aggregate(dbl(col), F.lit(0.0), lambda acc, v: acc + v * v))
-    pairs = (
-        a_side.join(c_side, "bucket")
-        .filter(F.col("q_id") != F.col("c_id"))
-        .withColumn("cos", F.round(dot / (norm(F.col("q_emb")) * norm(F.col("c_emb"))), 6))
-    )
+    ex = (e.withColumn("codes", table_codes("embedding"))
+          .select("vec_id", F.posexplode("codes").alias("tbl", "code"))
+          .persist())  # code UDF runs once, not once per join side
+    a = ex.select(F.col("vec_id").alias("q_id"), "tbl", "code")
+    b = ex.select(F.col("vec_id").alias("c_id"), "tbl", "code")
+    cand = (a.join(b, ["tbl", "code"])
+            .filter(F.col("q_id") != F.col("c_id"))
+            .select("q_id", "c_id").distinct())
+    eq = e.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
+    ec = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"))
     w = W.partitionBy("q_id").orderBy(F.desc("cos"), "c_id")
-    return (
-        pairs.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 3)
-        .select("q_id", "rk", "c_id", "cos", "bucket")
+    res = (
+        cand.join(eq, "q_id").join(ec, "c_id")
+        .withColumn("cos", F.round(_cosine_expr("q_emb", "c_emb"), 6))
+        .withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+        .select("q_id", "rk", "c_id", "cos")
     )
+    # ---- recall gate: brute-force truth for the fixed query subset
+    qsub = eq.filter(F.col("q_id") < n_check)
+    truth = (
+        qsub.crossJoin(ec)
+        .filter(F.col("q_id") != F.col("c_id"))
+        .withColumn("cos", F.round(_cosine_expr("q_emb", "c_emb"), 6))
+        .withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+        .select("q_id", "c_id")
+    )
+    found = truth.join(res.select("q_id", "c_id"), ["q_id", "c_id"], "left_semi")
+    gate = (
+        found.agg(F.count("*").alias("n_found"))
+        .crossJoin(truth.agg(F.count("*").alias("n_truth")))
+        .filter(F.col("n_found") >= F.lit(recall_floor) * F.col("n_truth"))
+        .select(F.round(F.col("n_found") / F.col("n_truth"), 4).alias("recall_check"))
+    )
+    return res.crossJoin(gate)
 
 
 # ----------------------------------------------- embedding near-dup (LSH)
@@ -243,10 +313,25 @@ def lang_id_udf(texts: pd.Series) -> pd.Series:
     scores = pd.DataFrame(index=t.index)
     scores["zh"] = t.str.count(r"[一-鿿]")
     scores["ru"] = t.str.count(r"[Ѐ-ӿ]")
-    scores["es"] = t.str.count(r"[ñáéíóú]") * 3 + t.str.count(r"\b(el|la|los|de|que)\b")
+    scores["es"] = t.str.count(r"[ñáíóú¿¡]") * 3 + t.str.count(r"\b(el|los|las|que|y)\b")
     scores["de"] = t.str.count(r"[äöüß]") * 3 + t.str.count(r"\b(der|die|das|und|ist)\b")
+    scores["fr"] = t.str.count(r"[àâçêëîïôûœ]") * 3 + t.str.count(r"\b(le|les|et|est|dans|une|pour)\b")
     scores["en"] = t.str.count(r"\b(the|a|of|and|is)\b") + 0.1
     return scores.idxmax(axis=1)
+
+
+# Deterministic marker-bearing texts, one per supported language — the
+# self-check corpus for the lang_id driver row (the sf testdata's `lang`
+# column is a synthetic LABEL uncorrelated with its English-ish token
+# stream, so label accuracy cannot witness the classifier; these can).
+LANG_PLANTS = [
+    ("en", "the cat is on the mat and the dog is one of the pets of the king"),
+    ("de", "der hund und die katze ist schön und die große straße über der brücke"),
+    ("es", "el niño y los señores que cantan años de alegría y los libros ñoños"),
+    ("fr", "le chien et les chats est dans une maison pour être à côté du château"),
+    ("zh", "这是一个中文文档 网络 数据 爬虫 图像 标题"),
+    ("ru", "это русский документ сеть данные пример проверка языка"),
+]
 
 
 def q_lang_id(spark, sf):
@@ -256,6 +341,34 @@ def q_lang_id(spark, sf):
         .select("doc_id", "lang", "lang_pred",
                 (F.col("lang") == F.col("lang_pred")).alias("correct"))
     )
+
+
+def q_lang_id_driver(spark, sf):
+    """Driver key `lang_id`, SELF-CHECKING (VERDICT r3 #4): unions six
+    deterministic PLANTED texts with real per-language markers
+    (LANG_PLANTS, doc_id >= 10^6) into the corpus and gates the whole
+    output on the classifier getting every plant right — a regression
+    in any language's marker set empties the driver row. The testdata
+    rows are still scored and returned (their synthetic `lang` label is
+    uncorrelated with the token stream, so their `correct` column is
+    descriptive, not the invariant)."""
+    d = _docs(spark, sf).select("doc_id", "lang", "text")
+    plants = d.sparkSession.createDataFrame(
+        [(1000000 + i, lang, txt) for i, (lang, txt) in enumerate(LANG_PLANTS)],
+        schema="doc_id long, lang string, text string")
+    scored = (
+        d.unionByName(plants)
+        .withColumn("lang_pred", lang_id_udf("text"))
+        .select("doc_id", "lang", "lang_pred",
+                (F.col("lang") == F.col("lang_pred")).alias("correct"))
+    )
+    gate = (
+        scored.filter(F.col("doc_id") >= 1000000)
+        .agg(F.sum(F.when(~F.col("correct"), 1).otherwise(0)).alias("n_wrong"))
+        .filter(F.col("n_wrong") == 0)
+        .select(F.col("n_wrong").alias("plants_wrong"))
+    )
+    return scored.crossJoin(gate)
 
 
 # -------------------------------------------------------- Bloom prefilter
@@ -432,10 +545,31 @@ def q_ann_ivf(spark, sf):
         .withColumn("cos", F.round(dot / (norm(F.col("q_emb")) * norm(F.col("c_emb"))), 6))
     )
     w = W.partitionBy("q_id").orderBy(F.desc("cos"), "c_id")
-    return (
+    res = (
         pairs.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 3)
         .select("q_id", "rk", "c_id", "cos", "cell").distinct()
     )
+    # ---- SELF-CHECKING recall gate (VERDICT r3 #4): brute-force truth
+    # for the same 8 queries; measured recall@3 must clear 0.5 (the
+    # pytest bound) or the driver row empties. O(8 × n), bounded.
+    eq = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
+    ec = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"))
+    truth = (
+        eq.crossJoin(ec)
+        .filter(F.col("q_id") != F.col("c_id"))
+        .withColumn("cos", F.round(_cosine_expr("q_emb", "c_emb"), 6))
+        .withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 3)
+        .select("q_id", "c_id")
+    )
+    found = truth.join(res.select("q_id", "c_id"), ["q_id", "c_id"], "left_semi")
+    gate = (
+        found.agg(F.count("*").alias("n_found"))
+        .crossJoin(truth.agg(F.count("*").alias("n_truth")))
+        .filter(F.col("n_found") >= 0.5 * F.col("n_truth"))
+        .select(F.round(F.col("n_found") / F.col("n_truth"), 4).alias("recall_check"))
+    )
+    return res.crossJoin(gate)
 
 
 # ------------------------------------------------- multimodal audio/video
@@ -594,6 +728,29 @@ def q_dedup_clusters(spark, sf):
     )
 
 
+def q_ngram_jaccard_driver(spark, sf):
+    """Driver key `ngram_jaccard`: the exact hybrid-index Jaccard pairs
+    (queries.q_ngram_jaccard) WITH the T19 connected-component columns
+    attached — per pair, the component representative (min doc_id in the
+    transitive closure over all pairs) and the component size. a_id and
+    b_id are by construction in the same component, so one rep column
+    witnesses both endpoints. The DuckDB twin recomputes the closure
+    with a recursive CTE, so the driver hash now checks the distributed
+    min-label-propagation + pointer-jumping clustering
+    (dup_clusters_df), not just the pair set."""
+    from web_crawler_spark.plans import queries as Q
+
+    pairs = Q.q_ngram_jaccard(spark, sf)
+    comp = dup_clusters_df(pairs.select("a_id", "b_id"))
+    sizes = comp.groupBy("rep").agg(F.count("*").alias("cluster_size"))
+    return (
+        pairs
+        .join(comp.withColumnRenamed("doc_id", "a_id"), "a_id")
+        .join(sizes, "rep")
+        .select("a_id", "b_id", "jac", "rep", "cluster_size")
+    )
+
+
 # ------------------------------------------- language-balanced sampling
 
 def balanced_sample_df(d: DataFrame, strata_col: str, k: int,
@@ -659,6 +816,36 @@ def mixture_sample_df(d: DataFrame, strata_col: str, weights: dict,
         .filter(F.col("_rk") <= F.lit(max_q))
         .filter(F.col("_rk") <= F.col("_q"))
         .drop("_rk", "_q")
+    )
+
+
+def q_sample_quota(spark, sf, k: int = 70, total: int = 201):
+    """Driver key `sample_quota`: per-stratum COUNT witnesses for both
+    deterministic samplers — T20 balanced_sample_df (exactly
+    min(k, |stratum|) rows per language) and T25 mixture_sample_df
+    (largest-remainder apportionment of the target weights, short when
+    a stratum is exhausted). The row selection itself is xxhash64-rank
+    order (not SQL-expressible), but the COUNTS are: the DuckDB twin
+    independently reimplements the apportionment (floor + remainder
+    ranking) and the min(k, n) bound in SQL, so a quota bug — wrong
+    floor, misassigned leftover seat, missing exhausted-stratum clamp,
+    a WindowGroupLimit bound that truncates a stratum — flips the
+    driver hash. Weights deliberately make zh's quota (91) exceed its
+    population and leave one leftover seat for the remainder rule."""
+    d = _docs(spark, sf).select("doc_id", "lang")
+    weights = {"en": 0.3, "de": 0.1, "es": 0.1, "fr": 0.05, "zh": 0.45}
+    bal = (balanced_sample_df(d, "lang", k=k)
+           .groupBy("lang").agg(F.count("*").alias("n_balanced")))
+    mix = (mixture_sample_df(d, "lang", weights, total=total)
+           .groupBy("lang").agg(F.count("*").alias("n_mixture")))
+    zero = F.lit(0).cast("long")
+    return (
+        d.groupBy("lang").agg(F.count("*").alias("n_docs"))
+        .join(bal, "lang", "left")
+        .join(mix, "lang", "left")
+        .select("lang", "n_docs",
+                F.coalesce("n_balanced", zero).alias("n_balanced"),
+                F.coalesce("n_mixture", zero).alias("n_mixture"))
     )
 
 

@@ -569,6 +569,38 @@ FROM events
 """
 
 
+def q_running_sum_driver(spark, sf):
+    """Driver key `running_sum`: the frame-spec running aggregate (W5)
+    plus the lag/gap analytic columns (W4 — absorbs the former `lag_gap`
+    key; same 50-key-budget fold pattern as rank_functions/percent_rank).
+    Both ride the IDENTICAL window spec (user_id, ts, event_id) on one
+    events scan, so the fold costs nothing at scale: Catalyst evaluates
+    both window functions in a single Window operator after one shuffle.
+    First-event-per-user rows have no lag predecessor; the gap is
+    coalesced to -1.0 on both sides (a real gap is never negative) so
+    the driver's stringified value-hash never compares NULL renderings."""
+    e = _t(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wf = w.rowsBetween(W.unboundedPreceding, 0)
+    sec = F.unix_micros(F.col("ts").cast("timestamp")) / 1e6
+    gap = sec - F.lag(sec).over(w)
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(wf), 4).alias("running_value"),
+        F.coalesce(F.round(gap, 6), F.lit(-1.0)).alias("gap_s"),
+    )
+
+SQL_RUNNING_SUM_DRIVER = """
+SELECT user_id, event_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value,
+       coalesce(round(epoch(ts) - lag(epoch(ts)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id), 6), -1.0) AS gap_s
+FROM events
+"""
+
+
 def q_sort_limit(spark, sf):
     return (
         _t(spark, sf, "orders")
@@ -917,20 +949,52 @@ GROUP BY doc_id HAVING count(*) >= 2
 """
 
 
-def q_token_count_driver(spark, sf):
+def q_token_count_driver(spark, sf, ctx_len: int = 512):
     """Driver key `token_count`: token/fingerprint metrics plus the T23
-    decontamination columns, left-joined on doc_id (same 50-key-budget
-    fold pattern as text_quality/T22). Benchmark docs themselves are
-    flagged, not dropped, so the row count stays the full table."""
+    decontamination columns plus the T24 SEQUENCE-PACKING per-doc stats,
+    left-joined on doc_id (same 50-key-budget fold pattern as
+    text_quality/T22). Benchmark docs themselves are flagged, not
+    dropped, so the row count stays the full table.
+
+    The packing columns aggregate the REAL pack_sequences_df output
+    (two-phase windowless prefix sum + per-row JVM sequence explosion,
+    plans/pipeline_ops.py): per doc, the first/last ctx_len bin it lands
+    in, how many bins it spans, the total packed tokens (must equal the
+    doc's whitespace token count — token conservation is hashed, not
+    asserted) and the length of its final segment. The DuckDB twin
+    derives every one of these CLOSED-FORM from a window prefix sum +
+    integer division — so a packing bug (lost token, shifted boundary,
+    wrong segment split) flips the driver row red."""
+    from web_crawler_spark.plans.pipeline_ops import pack_sequences_df
+
     tc = q_token_count(spark, sf)
     shared = q_decontaminate(spark, sf, min_shared=1)
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    pk = (
+        pack_sequences_df(d, ctx_len=ctx_len)
+        .groupBy("doc_id")
+        .agg(
+            F.min("bin_id").alias("first_bin"),
+            F.max("bin_id").alias("last_bin"),
+            F.count("*").alias("n_segments"),
+            F.sum("seg_len").alias("packed_tok"),
+            F.max_by("seg_len", "bin_id").alias("last_seg_len"),
+        )
+    )
+    neg = F.lit(-1).cast("long")
     return (
         tc.join(shared, "doc_id", "left")
+        .join(pk, "doc_id", "left")
         .select(
             tc["*"],
             F.coalesce("n_shared_shingles", F.lit(0)).alias("n_shared_shingles"),
             (F.col("doc_id") % 97 == 0).alias("is_benchmark"),
             (F.coalesce("n_shared_shingles", F.lit(0)) >= 2).alias("contaminated"),
+            F.coalesce("first_bin", neg).alias("first_bin"),
+            F.coalesce("last_bin", neg).alias("last_bin"),
+            F.coalesce("n_segments", neg).alias("n_segments"),
+            F.coalesce("packed_tok", neg).alias("packed_tok"),
+            F.coalesce("last_seg_len", neg).alias("last_seg_len"),
         )
     )
 
@@ -946,11 +1010,38 @@ shared AS (
   FROM sh JOIN bench USING (shingle)
   WHERE doc_id % 97 != 0
   GROUP BY doc_id
+),
+toks AS (
+  SELECT doc_id, CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tok
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, n_tok,
+         CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS tok_start
+  FROM toks WHERE n_tok > 0
+),
+pk AS (
+  SELECT doc_id,
+         tok_start // 512 AS first_bin,
+         (tok_start + n_tok - 1) // 512 AS last_bin,
+         (tok_start + n_tok - 1) // 512 - tok_start // 512 + 1 AS n_segments,
+         n_tok AS packed_tok,
+         n_tok - greatest(((tok_start + n_tok - 1) // 512) * 512 - tok_start,
+                          0) AS last_seg_len
+  FROM pos
 )
 SELECT tc.*, coalesce(shared.n_shared_shingles, 0) AS n_shared_shingles,
        tc.doc_id % 97 = 0 AS is_benchmark,
-       coalesce(shared.n_shared_shingles, 0) >= 2 AS contaminated
+       coalesce(shared.n_shared_shingles, 0) >= 2 AS contaminated,
+       coalesce(pk.first_bin, -1) AS first_bin,
+       coalesce(pk.last_bin, -1) AS last_bin,
+       coalesce(pk.n_segments, -1) AS n_segments,
+       coalesce(pk.packed_tok, -1) AS packed_tok,
+       coalesce(pk.last_seg_len, -1) AS last_seg_len
 FROM tc LEFT JOIN shared ON tc.doc_id = shared.doc_id
+        LEFT JOIN pk ON tc.doc_id = pk.doc_id
 """
 
 
@@ -1170,6 +1261,65 @@ SELECT a_id, b_id,
        round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) AS jac
 FROM inter JOIN sizes sa ON sa.doc_id = a_id JOIN sizes sb ON sb.doc_id = b_id
 WHERE round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) >= 0.2
+"""
+
+
+# Twin of pipeline_ops.q_sample_quota: reimplements largest-remainder
+# apportionment (floor + fractional-part ranking, ties by stratum name)
+# and the min(k, n) balanced bound in pure SQL. k=70, total=201, weights
+# must match the Spark side literally.
+SQL_SAMPLE_QUOTA = """
+WITH counts AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+),
+w(lang, wt) AS (
+  VALUES ('en', 0.3), ('de', 0.1), ('es', 0.1), ('fr', 0.05), ('zh', 0.45)
+),
+f AS (
+  SELECT lang, wt / (SELECT sum(wt) FROM w) * 201 AS frac FROM w
+),
+q0 AS (
+  SELECT lang, CAST(floor(frac) AS BIGINT) AS q, frac - floor(frac) AS rem
+  FROM f
+),
+ranked AS (
+  SELECT lang, q, row_number() OVER (ORDER BY rem DESC, lang) AS rk FROM q0
+),
+quota AS (
+  SELECT lang,
+         q + CASE WHEN rk <= 201 - (SELECT sum(q) FROM q0) THEN 1 ELSE 0 END
+           AS quota
+  FROM ranked
+)
+SELECT c.lang, c.n_docs,
+       least(CAST(70 AS BIGINT), c.n_docs) AS n_balanced,
+       least(CAST(coalesce(qt.quota, 0) AS BIGINT), c.n_docs) AS n_mixture
+FROM counts c LEFT JOIN quota qt ON qt.lang = c.lang
+"""
+
+
+SQL_NGRAM_JACCARD_DRIVER = f"""
+WITH RECURSIVE pairs AS ({SQL_NGRAM_JACCARD}),
+edges AS (
+  SELECT a_id AS u, b_id AS v FROM pairs
+  UNION
+  SELECT b_id AS u, a_id AS v FROM pairs
+),
+reach AS (
+  SELECT u AS src, v AS dst FROM edges
+  UNION
+  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u
+),
+rep AS (
+  SELECT src AS doc_id, least(src, min(dst)) AS rep FROM reach GROUP BY src
+),
+sizes AS (
+  SELECT rep, CAST(count(*) AS BIGINT) AS cluster_size FROM rep GROUP BY rep
+)
+SELECT p.a_id, p.b_id, p.jac, r.rep, s.cluster_size
+FROM pairs p
+JOIN rep r ON r.doc_id = p.a_id
+JOIN sizes s ON s.rep = r.rep
 """
 
 
