@@ -41,6 +41,15 @@ Round r:
     position) order)
 Stop when the frontier is empty, the global budget is spent, or
 cfg.max_rounds reached.
+
+priority_mode="authority" (round-r batch ordering only): hosts are
+ranked by PageRank over the host-level link graph of everything FETCHED
+in rounds < r (distinct src_host→dst_host pairs from each logged row's
+out_links, self-host edges dropped; damping 0.85, cfg.authority_iters
+power iterations, dangling mass re-injected uniformly). Ranks quantize
+to floor(rank*1e6 + 0.5); batch order becomes (-rank_q, priority,
+discovered_seq) with absent hosts at rank_q 0. Eligibility, per-host
+politeness top-k and within-host order are UNCHANGED.
 """
 
 from __future__ import annotations
@@ -77,6 +86,39 @@ def load_fixture(fix_dir: str):
     with open(os.path.join(fix_dir, "robots.json")) as f:
         robots = json.load(f)
     return corpus, urls, seeds, robots
+
+
+def _authority_q(log_rows: list[dict], canon_to_idx: dict, hosts_all,
+                 n: int, iters: int, damping: float) -> dict[str, int]:
+    """Sequential twin of the engine's _host_rank_q: numpy power
+    iteration over the distinct host-level link graph of the fetched
+    log so far, quantized to the shared 1e-6 grid. Matches
+    plans/pipeline_ops.pagerank_df semantics: nodes = edge endpoints,
+    dangling (no out-edge) mass re-injected uniformly, ranks sum to 1."""
+    edges: set[tuple[str, str]] = set()
+    for row in log_rows:
+        i = canon_to_idx[row["canon_url"]]
+        sh = row["host"]
+        for j in out_links(i, n):
+            dh = hosts_all.iloc[j]
+            if dh != sh:
+                edges.add((sh, dh))
+    if not edges:
+        return {}
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    idx = {h: k for k, h in enumerate(nodes)}
+    nn = len(nodes)
+    deg = np.zeros(nn)
+    for u, _ in edges:
+        deg[idx[u]] += 1
+    rank = np.full(nn, 1.0 / nn)
+    for _ in range(iters):
+        contrib = np.zeros(nn)
+        for u, v in edges:
+            contrib[idx[v]] += rank[idx[u]] / deg[idx[u]]
+        dangling = rank[deg == 0].sum()
+        rank = (1.0 - damping) / nn + damping * (contrib + dangling / nn)
+    return {h: int(math.floor(rank[idx[h]] * 1e6 + 0.5)) for h in nodes}
 
 
 def crawl(fix_dir: str, cfg: CrawlConfig = CrawlConfig()) -> OracleResult:
@@ -147,17 +189,25 @@ def crawl(fix_dir: str, cfg: CrawlConfig = CrawlConfig()) -> OracleResult:
 
     budget_left = cfg.global_budget if cfg.global_budget is not None else float("inf")
 
+    use_auth = getattr(cfg, "priority_mode", "bfs") == "authority"
+
     for r in range(cfg.max_rounds):
         if not frontier or budget_left <= 0:
             break
+        if use_auth and log_rows:
+            auth = _authority_q(log_rows, canon_to_idx, hosts_all, n,
+                                cfg.authority_iters, cfg.authority_damping)
+            key = lambda f: (-auth.get(f["host"], 0), f["prio"], f["seq"])
+        else:
+            key = lambda f: (f["prio"], f["seq"])
         eligible = [f for f in frontier if f["ready"] <= r and host_next.get(f["host"], 0) <= r]
         by_host: dict[str, list[dict]] = {}
-        for f in sorted(eligible, key=lambda f: (f["prio"], f["seq"])):
+        for f in sorted(eligible, key=key):
             by_host.setdefault(f["host"], []).append(f)
         selected = []
         for h, fs in by_host.items():
             selected.extend(fs[: cfg.per_host_k])
-        batch = sorted(selected, key=lambda f: (f["prio"], f["seq"]))
+        batch = sorted(selected, key=key)
         if budget_left < len(batch):
             batch = batch[: int(budget_left)]
         if not batch:

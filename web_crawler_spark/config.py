@@ -45,6 +45,22 @@ class CrawlConfig:
                                       # rounds an uncompacted log is 10^5
                                       # dirs and listing dominates reads
     compact_min_parts: int = 8     # only tables at/above this part count
+    priority_mode: str = "bfs"   # "bfs" (default: order by depth then
+                                 # discovery) | "authority": round r
+                                 # orders the batch by host-level
+                                 # PageRank computed from rounds < r
+                                 # (the classic upgrade over BFS
+                                 # priority — fetch pages on
+                                 # well-linked hosts first). Within a
+                                 # host the (priority, discovered_seq)
+                                 # order and the per-host politeness
+                                 # budget are unchanged; ranks quantize
+                                 # to round(rank*1e6) so the engine and
+                                 # the sequential oracle order
+                                 # identically despite distributed-vs-
+                                 # sequential float summation
+    authority_iters: int = 10    # PageRank power-iteration rounds
+    authority_damping: float = 0.85
     snapshot_keep: int | None = None  # retain only the newest K per-round
                                       # snapshots (Iceberg
                                       # expire_snapshots + orphan GC);

@@ -127,7 +127,8 @@ def _bucket(host_col, url_col, cfg: CrawlConfig):
 
 def schedule_batch(frontier, host_next, r: int, cfg: CrawlConfig, *,
                    next_seq: int, next_fetch_seq: int,
-                   budget_left: int | None = None):
+                   budget_left: int | None = None,
+                   host_rank=None):
     """The frontier-scheduling superstep, standalone: eligibility filter
     → politeness-clock join → per-host top-k (parallel window on the
     host key) → optional global budget truncation → two-phase global
@@ -142,25 +143,44 @@ def schedule_batch(frontier, host_next, r: int, cfg: CrawlConfig, *,
     row_number branches share one evaluation of the eligibility
     subplan). Used by ``CrawlEngine._run_round`` and, over a synthetic
     10^8-row frontier, by ``bench.py --frontier`` — the stress evidence
-    for the north-rule frontier-URLs/sec metric runs this exact code."""
+    for the north-rule frontier-URLs/sec metric runs this exact code.
+
+    ``host_rank`` (cfg.priority_mode="authority"): a small (host,
+    rank_q) frame — quantized host-level PageRank from rounds < r. When
+    given, the CROSS-host batch order becomes (-rank_q, priority,
+    discovered_seq): high-authority hosts fetch (and survive a budget
+    cut) first. Hosts absent from the link graph rank 0 (below every
+    in-graph host's strictly-positive quantized rank). Within-host
+    order and the per-host politeness top-k are UNCHANGED — authority
+    is constant inside a host, so only the interleave moves. The frame
+    is host-level (≪ frontier) and broadcasts; with host_rank=None this
+    function is bit-for-bit the BFS path."""
     elig = (
         frontier.filter(F.col("ready_round") <= r)
         .join(host_next, "host", "left")
         .filter(F.coalesce("next_round", F.lit(0)) <= r)
         .drop("next_round")
     )
+    if host_rank is not None:
+        elig = (
+            elig.join(F.broadcast(host_rank), "host", "left")
+            .withColumn("_nrq", -F.coalesce("rank_q", F.lit(0)).cast("long"))
+            .drop("rank_q")
+        )
     wk = Window.partitionBy("host").orderBy("priority", "discovered_seq")
     sel = (elig.withColumn("rn", F.row_number().over(wk))
            .filter(F.col("rn") <= cfg.per_host_k).drop("rn"))
+    order = (["_nrq"] if host_rank is not None else []) + ["priority", "discovered_seq"]
     if budget_left is not None:
-        sel = sel.orderBy("priority", "discovered_seq").limit(int(budget_left))
+        sel = sel.orderBy(*order).limit(int(budget_left))
     db = max(1, int(next_seq) // 4096)
     sel = sel.withColumn(
         "_db", (F.col("discovered_seq") / F.lit(db)).cast("long")).persist()
+    keys = (["_nrq"] if host_rank is not None else []) + ["priority", "_db"]
     batch = with_global_seq(
-        sel, ["priority", "_db"], ["discovered_seq"],
+        sel, keys, ["discovered_seq"],
         "fetch_seq", start=int(next_fetch_seq),
-    ).drop("_db")
+    ).drop("_db", "_nrq")
     return batch, sel
 
 
@@ -268,6 +288,36 @@ class CrawlEngine:
             self._sketch = bloom.merge(
                 self._sketch, bloom.build_sketch(delta_df, self.cfg.bloom_bits))
 
+    def _host_rank_q(self):
+        """Quantized host-level PageRank from the COMMITTED crawl_log
+        (rounds < r): the authority signal priority_mode="authority"
+        feeds into schedule_batch. Quantization floor(rank*1e6 + 0.5)
+        makes the ordering identical between this engine's distributed
+        double sums and the sequential oracle's numpy power iteration
+        (parity ~1e-15 ≪ the 1e-6 grid). The graph is HOST-level —
+        orders of magnitude smaller than the page graph (10^6-ish hosts
+        vs 10^10 pages at the design point), so the per-round power
+        iteration is a small job beside the round's fetch work; ranks
+        of a round could also be cached forward and refreshed every k
+        rounds without changing the contract. Callers skip the call
+        while the log is empty (round 0 has no history — pure BFS)."""
+        from web_crawler_spark.plans import reports
+        from web_crawler_spark.plans.pipeline_ops import pagerank_df
+
+        if self._ulm is None:
+            self._ulm = self.cat.read("url_map").persist()
+        edges = (
+            reports.link_edges(self.cat, self._ulm, self.n_corpus)
+            .filter(F.col("src_host") != F.col("dst_host"))
+            .select(F.col("src_host").alias("src"), F.col("dst_host").alias("dst"))
+        )
+        pr = pagerank_df(edges, iters=self.cfg.authority_iters,
+                         damping=self.cfg.authority_damping)
+        return pr.select(
+            F.col("id").alias("host"),
+            F.floor(F.col("rank") * F.lit(1e6) + F.lit(0.5)).cast("long").alias("rank_q"),
+        )
+
     # ------------------------------------------------------------------ init
     def _url_map(self) -> DataFrame:
         urls = self.spark.read.parquet(os.path.join(self.fix_dir, "urls.parquet"))
@@ -369,6 +419,9 @@ class CrawlEngine:
             next_seq=int(ctr["next_seq"]),
             next_fetch_seq=int(ctr["next_fetch_seq"]),
             budget_left=budget_left,
+            host_rank=(self._host_rank_q()
+                       if cfg.priority_mode == "authority"
+                       and int(ctr["next_fetch_seq"]) > 0 else None),
         )
 
         # -- fetch: frontier batch ⋈ url_map ⋈ corpus (the sandbox's HTTP GET)
