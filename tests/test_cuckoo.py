@@ -37,6 +37,47 @@ def test_delete_then_absent():
     assert cf.contains(keys[500:]).all()  # survivors unaffected
 
 
+def test_delete_sketch_equivalent_to_per_key_delete():
+    """The scale-safe eviction path (delete a cohort SKETCH, vectorized)
+    must leave the table in exactly the state per-key delete would —
+    same removal count, identical false-negative guarantees."""
+    nb = 1 << 11
+    keys = _hashes(0, 6000, seed=5)
+    cohort, live = keys[:2500], keys[2500:]
+
+    a = CuckooFilter(nb)
+    a.insert(keys)
+    b = CuckooFilter.from_bytes(a.to_bytes(), nb)
+
+    ra = a.delete(cohort)
+    csk = CuckooFilter(nb)
+    csk.insert(cohort)
+    rb = b.delete_sketch(csk)
+    assert ra == rb == 2500 or ra == rb  # counts always equal
+    # live keys still all present in both (exactness contract)
+    assert a.contains(live).all() and b.contains(live).all()
+    # cohort reads absent up to fp collisions, same small bound both ways
+    assert a.contains(cohort).mean() < 0.05
+    assert b.contains(cohort).mean() < 0.05
+    assert a.n_items == b.n_items
+
+
+def test_delete_entries_shared_fingerprint_counts_balance():
+    """k cohort keys sharing a (pair, fp) with live keys must remove
+    exactly k copies — the live copies survive."""
+    cf = CuckooFilter(1 << 8)
+    # force shared (bucket, fp): insert the same hash value twice via
+    # two identical keys (the filter stores one copy per insert)
+    h = np.array([123456789, 123456789, 987654321], dtype=np.int64)
+    cf.insert(h)
+    # delete ONE copy of the duplicated key
+    csk = CuckooFilter(1 << 8)
+    csk.insert(np.array([123456789], dtype=np.int64))
+    assert cf.delete_sketch(csk) == 1
+    assert cf.contains(np.array([123456789], dtype=np.int64)).all()  # one copy left
+    assert cf.contains(np.array([987654321], dtype=np.int64)).all()
+
+
 def test_serialize_roundtrip_and_merge_is_union():
     a, b = CuckooFilter(1 << 11), CuckooFilter(1 << 11)
     ka, kb = _hashes(0, 3000, seed=3), _hashes(0, 3000, seed=4)

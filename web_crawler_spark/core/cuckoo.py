@@ -131,6 +131,64 @@ class CuckooFilter:
                     break
         return removed
 
+    def delete_entries(self, buckets: np.ndarray, fps: np.ndarray) -> int:
+        """Vectorized batch delete: remove ONE stored copy per (bucket,
+        fingerprint) entry, where each entry's bucket may be either of
+        its key's pair (partial-key cuckoo recovers the pair from
+        (bucket, fp) alone). Pure numpy — no per-entry Python loop, so
+        a 10^8-entry eviction cohort is array passes, not hours.
+
+        Semantics match calling ``delete`` once per original key: both
+        group demands by the CANONICAL bucket pair, so copies relocated
+        by kicks are found wherever they sit, and k cohort keys sharing
+        a (pair, fp) remove exactly k stored copies (all k were
+        inserted, so the count balances and no live key loses its
+        last copy)."""
+        if len(buckets) == 0:
+            return 0
+        buckets = buckets.astype(np.int64, copy=False)
+        fps = fps.astype(np.uint16, copy=False)
+        # demand per (canonical pair id, fp): pair id = min of the two
+        # buckets, invariant under kick relocation
+        dpid = np.minimum(buckets, _alt_bucket(buckets, fps, self.n_buckets))
+        dkey = (dpid.astype(np.uint64) << np.uint64(16)) | fps.astype(np.uint64)
+        dk, dcnt = np.unique(dkey, return_counts=True)
+        # supply: every occupied slot in the table, keyed the same way
+        rb, rs = np.nonzero(self.table)
+        if len(rb) == 0:
+            return 0
+        sfp = self.table[rb, rs]
+        spid = np.minimum(rb, _alt_bucket(rb.astype(np.int64), sfp, self.n_buckets))
+        skey = (spid.astype(np.uint64) << np.uint64(16)) | sfp.astype(np.uint64)
+        pos = np.searchsorted(dk, skey)
+        pos = np.minimum(pos, len(dk) - 1)
+        hit = dk[pos] == skey
+        if not hit.any():
+            return 0
+        skey_h, rb_h, rs_h, di_h = skey[hit], rb[hit], rs[hit], pos[hit]
+        # deterministic within-group order (bucket asc, slot asc), then
+        # per-group rank; clear the first min(demand, supply) slots
+        order = np.lexsort((rs_h, rb_h, skey_h))
+        skey_o = skey_h[order]
+        starts = np.flatnonzero(np.r_[True, skey_o[1:] != skey_o[:-1]])
+        seg_len = np.diff(np.r_[starts, len(skey_o)])
+        rank = np.arange(len(skey_o)) - np.repeat(starts, seg_len)
+        take = rank < dcnt[di_h[order]]
+        bb, ss = rb_h[order][take], rs_h[order][take]
+        self.table[bb, ss] = 0
+        self.n_items -= len(bb)
+        return int(len(bb))
+
+    def delete_sketch(self, other: "CuckooFilter") -> int:
+        """Delete every entry of ``other`` (a cohort sketch built
+        DISTRIBUTED from the rows to evict) from this filter — the
+        scale-safe eviction path: only packed fixed-size tables ever
+        reach the driver, never the cohort's rows (VERDICT r3 #3)."""
+        if other.n_buckets != self.n_buckets:
+            raise ValueError("sketch size mismatch")
+        rows, slots = np.nonzero(other.table)
+        return self.delete_entries(rows.astype(np.int64), other.table[rows, slots])
+
     # -- broadcast / merge (mirrors bloom.build_sketch's shape) ------------
     def to_bytes(self) -> bytes:
         return self.table.tobytes() + (b"\x01" if self.overflowed else b"\x00")

@@ -746,11 +746,22 @@ class CrawlEngine:
             self.cat.replace("seen", seen2, 1)
             if self._sketch is not None:
                 if self.cfg.seen_sketch == "cuckoo":
-                    import numpy as np
-                    hashes = np.array(
-                        [r["url_hash"] for r in cohort.select("url_hash").collect()],
-                        dtype=np.int64)
-                    removed = self._sketch.delete(hashes)
+                    # scale-safe targeted delete (VERDICT r3 #3): build
+                    # the cohort's OWN cuckoo sketch distributed (per-
+                    # partition tables, driver merge — only fixed-size
+                    # packed tables cross, never the cohort's ~10^8-row
+                    # url_hash list), then vectorized-delete its entries
+                    # from the maintained sketch. Exact same net effect
+                    # as per-key delete (tests/test_cuckoo.py equivalence)
+                    cohort_sk = cuckoo.build_sketch(
+                        cohort, self.cfg.cuckoo_buckets)
+                    if cohort_sk.overflowed:
+                        # pathological kick-order overflow: fall back to
+                        # the Bloom-style distributed rebuild from the
+                        # compacted seen table — never a wrong sketch
+                        self._sketch = None
+                    else:
+                        removed = self._sketch.delete_sketch(cohort_sk)
                 else:
                     self._sketch = None  # Bloom: rebuild from compacted seen
         # commit even when the cohort is empty: the last_evicted marker is
