@@ -78,6 +78,28 @@ def test_ngram_hybrid_branches_agree(spark):
     assert base  # non-vacuous
 
 
+def test_quality_classifier_exact_vs_python(spark):
+    """T27: third independent implementation — plain Python dict lookup
+    over every doc must reproduce clf_score EXACTLY (weights are
+    multiples of 1/64 and the score is a pure sum, so no float
+    tolerance is needed or used)."""
+    import pyarrow.parquet as pq
+
+    from web_crawler_spark.plans.queries import CLF_INTERCEPT, CLF_WEIGHTS, q_quality_classifier
+
+    w = dict(CLF_WEIGHTS)
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    expected = {
+        int(r.doc_id): sum(w.get(t, 0.0) for t in r.text.lower().split(" ")) + CLF_INTERCEPT
+        for r in docs.itertuples()
+    }
+    got = q_quality_classifier(spark, SF).toPandas()
+    assert len(got) == len(expected)
+    for r in got.itertuples():
+        assert expected[int(r.doc_id)] == r.clf_score, r.doc_id
+        assert (r.clf_score > 0) == r.clf_keep
+
+
 def test_registry_fits_driver_budget():
     """The driver records at most 50 CORRECTNESS rows in registry order
     — a 51st key would get zero graded evidence. Guard the budget."""

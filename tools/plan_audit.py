@@ -60,6 +60,11 @@ def main() -> int:
          "T23: the benchmark shingle set broadcasts — corpus shingles "
          "never shuffle for the membership check; only the per-doc "
          "count's doc_id combine exchanges"),
+        ("quality_classifier", Q.q_quality_classifier,
+         ["BroadcastHashJoin", "HashAggregate"],
+         "T27: the weight dim broadcasts (learned models are MBs, "
+         "corpora TBs) — corpus tokens never shuffle for the lookup; "
+         "only the per-doc sum's doc_id combine exchanges"),
         ("sample_quota", P.q_sample_quota, ["WindowGroupLimit"],
          "T20/T25: both samplers' hash-rank top-k lowers to "
          "WindowGroupLimit (rank evaluation stops at the literal bound; "

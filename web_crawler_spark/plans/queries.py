@@ -1170,24 +1170,91 @@ FROM ws LEFT JOIN gs ON ws.doc_id = gs.doc_id
 """
 
 
+# T27: linear quality classifier — the fastText-shaped scoring step of a
+# corpus pipeline: bag-of-words features joined against a BROADCAST
+# weight dimension (learned weights are MBs; corpora are TBs — the same
+# broadcast shape as T23 decontamination), per-doc weight sum, threshold
+# label. Weights are DETERMINISTIC multiples of 1/64 and the score is a
+# pure sum (no sigmoid/log): every value is exact in binary floating
+# point, so the Spark and DuckDB twins agree bit-for-bit regardless of
+# summation order — transcendentals would differ in the last ulp between
+# libm implementations. A learned model drops into the same plan by
+# replacing the literal dim with a weights table.
+CLF_WEIGHTS = [
+    # (token, weight) — "learned" lexicon, weights in units of 1/64
+    ("the", 2 / 64), ("a", 1 / 64), ("of", 2 / 64), ("and", 2 / 64),
+    ("is", 1 / 64), ("table", 3 / 64), ("query", 4 / 64),
+    ("data", 3 / 64), ("window", 3 / 64), ("join", 4 / 64),
+    ("slow", -6 / 64), ("fast", 2 / 64), ("big", -2 / 64),
+    ("small", -2 / 64), ("spark", 5 / 64), ("stream", 3 / 64),
+    ("row", 1 / 64), ("key", 1 / 64), ("hash", 2 / 64),
+    ("vector", -3 / 64), ("scan", -1 / 64), ("batch", 2 / 64),
+]
+CLF_INTERCEPT = -16 / 64
+
+
+def q_quality_classifier(spark, sf):
+    """T27: per-doc linear quality score + keep label. Plan shape:
+    explode tokens → broadcast-hash-join the weight dim (corpus tokens
+    never shuffle for the lookup) → one partial-aggregated doc_id
+    combine → add intercept, threshold at 0."""
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    w = spark.createDataFrame(CLF_WEIGHTS, "token string, w double")
+    toks = d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token"))
+    scored = (
+        toks.join(F.broadcast(w), "token")
+        .groupBy("doc_id").agg(F.sum("w").alias("w_sum"))
+    )
+    return (
+        d.select("doc_id").join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            (F.coalesce("w_sum", F.lit(0.0)) + F.lit(CLF_INTERCEPT)).alias("clf_score"),
+        )
+        .withColumn("clf_keep", F.col("clf_score") > 0)
+    )
+
+_CLF_VALUES = ", ".join(f"('{t}', {w!r})" for t, w in CLF_WEIGHTS)
+SQL_QUALITY_CLASSIFIER = f"""
+WITH w(token, wt) AS (VALUES {_CLF_VALUES}),
+toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, sum(wt) AS w_sum
+  FROM toks JOIN w USING (token) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(s.w_sum, 0.0) + ({CLF_INTERCEPT!r}) AS clf_score,
+       coalesce(s.w_sum, 0.0) + ({CLF_INTERCEPT!r}) > 0 AS clf_keep
+FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+"""
+
+
 def q_text_quality_driver(spark, sf):
     """Driver key `text_quality`: the array-surface quality metrics plus
-    the T22 repetition filters, joined on doc_id so one CORRECTNESS row
-    witnesses both operator families (same 50-key-budget fold pattern as
-    the other r3 consolidations; both standalone q_* remain for tests).
-    n_words is deliberately computed two independent ways (array size vs
-    exploded sum) — the join would hash-mismatch if they ever diverged,
-    so the fold is self-checking on tokenization."""
+    the T22 repetition filters plus the T27 linear-classifier columns,
+    joined on doc_id so one CORRECTNESS row witnesses all three operator
+    families (same 50-key-budget fold pattern as the other
+    consolidations; the standalone q_* remain for tests). n_words is
+    deliberately computed two independent ways (array size vs exploded
+    sum) — the join would hash-mismatch if they ever diverged, so the
+    fold is self-checking on tokenization."""
     tq = q_text_quality(spark, sf)
     rep = q_repetition_quality(spark, sf).drop("n_words")
-    return tq.join(rep, "doc_id")
+    clf = q_quality_classifier(spark, sf)
+    return tq.join(rep, "doc_id").join(clf, "doc_id")
 
 SQL_TEXT_QUALITY_DRIVER = f"""
 WITH tq AS ({SQL_TEXT_QUALITY}),
-rep AS ({SQL_REPETITION_QUALITY})
+rep AS ({SQL_REPETITION_QUALITY}),
+clf AS ({SQL_QUALITY_CLASSIFIER})
 SELECT tq.*, rep.top_word_cnt, rep.top_word_frac, rep.n_2grams,
-       rep.n_distinct_2grams, rep.top_2gram_cnt, rep.dup_2gram_frac
+       rep.n_distinct_2grams, rep.top_2gram_cnt, rep.dup_2gram_frac,
+       clf.clf_score, clf.clf_keep
 FROM tq JOIN rep ON tq.doc_id = rep.doc_id
+        JOIN clf ON tq.doc_id = clf.doc_id
 """
 
 
