@@ -83,7 +83,11 @@ _SQL_CHECKED = {
     "set_ops": (Q.q_set_ops, Q.SQL_SET_OPS),
     "pivot": (Q.q_pivot, Q.SQL_PIVOT),
     # training-data pipeline (SQL-expressible part)
-    "dedup_exact": (Q.q_dedup_exact, Q.SQL_DEDUP_EXACT),
+    # T1 exact-copy facts + the T28 exact-substring span profile
+    # (k-gram -> duplicated gram -> gaps-and-islands merge), doc grain,
+    # with planted partial-span/exact-pair docs so every branch is
+    # non-vacuous (natural testdata has no exact raw-text dups)
+    "dedup_exact": (Q.q_dedup_exact_driver, Q.SQL_DEDUP_EXACT_DRIVER),
     # combined with the T23 decontamination columns (q_decontaminate) —
     # same fold pattern as text_quality/T22
     "token_count": (Q.q_token_count_driver, Q.SQL_TOKEN_COUNT_DRIVER),
@@ -100,7 +104,10 @@ _SQL_CHECKED = {
     # sides so the row is non-vacuous (testdata max cos ≈ 0.51 < θ=0.98).
     "dedup_embedding_cosine": (P.q_dedup_embedding_cosine_driver,
                                Q.SQL_DEDUP_EMBEDDING_COSINE_DRIVER),
-    "corpus_clean": (Q.q_corpus_clean, Q.SQL_CORPUS_CLEAN),
+    # composed clean pass at doc grain + T29 curriculum ordering (phase
+    # thresholds + two-phase global position over a deterministic md5
+    # shuffle), with planted filter/dedup casualties
+    "corpus_clean": (Q.q_corpus_clean_driver, Q.SQL_CORPUS_CLEAN_DRIVER),
     "embedding_norm": (Q.q_embedding_norm, Q.SQL_EMBEDDING_NORM),
 }
 

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F, types as T
 
 from web_crawler_spark.functions.udfs import caption_bands_udf, jaccard3_udf
-from web_crawler_spark.plans.seq import with_global_prefix_sum
+from web_crawler_spark.plans.seq import with_global_prefix_sum, with_global_seq
 
 
 def _docs(spark, sf):
@@ -961,3 +961,134 @@ def pack_sequences_df(docs: DataFrame, ctx_len: int,
                             F.col("n_tok")) - F.col("seg_start"))
     )
     return segs.select("doc_id", "n_tok", "bin_id", "seg_start", "seg_len")
+
+
+# ------------------------------------- T28: exact-substring (span) dedup
+
+def dup_spans_df(docs: DataFrame, k: int = 8,
+                 id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """T28: exact-substring dedup at TOKEN-SPAN granularity (the
+    suffix-array dedup of Lee et al. 2021, "Deduplicating Training Data
+    Makes Language Models Better", re-expressed as relational algebra):
+    find every maximal run of >= k consecutive tokens that occurs more
+    than once anywhere in the corpus, per document. Exact-dup and
+    near-dup (T1/T2/T4) drop whole documents; this is the operator that
+    catches a license header, boilerplate navbar, or quoted paragraph
+    PASTED INTO otherwise-unique documents.
+
+    Plan (all JVM, zero Python):
+      1. tokenize + per-position k-gram md5 via transform/slice — one
+         projection, no explode until the grams exist;
+      2. posexplode -> (doc_id, pos, gram); duplicated grams found with
+         count(*) OVER (PARTITION BY gram) — ONE shuffle keyed by the
+         gram hash (the same shingle-shuffle shape as ngram_jaccard,
+         which survives the 100x audit), not groupBy + join-back which
+         would shuffle the grams twice;
+      3. hit positions merge into maximal spans per doc with the classic
+         gaps-and-islands window (lag + running sum) — partitioned by
+         doc_id, so the window never exceeds one document's positions.
+
+    The k-gram is keyed by md5 of the token run (not xxhash64) so the
+    DuckDB oracle computes the identical key; at 100 TB you'd swap in
+    xxhash64 for an 8-byte shuffle key (collision odds ~n^2/2^64).
+    Returns one row per maximal duplicated span:
+    (doc_id, span_id, s, e, span_len) with token offsets inclusive.
+    """
+    k = int(k)
+    toks = F.expr(
+        f"filter(split(lower(regexp_replace({text_col}, '[^a-z0-9]+', ' ')), ' '),"
+        " x -> x <> '')")
+    t = docs.select(F.col(id_col).alias("doc_id"), toks.alias("t"))
+    t = t.withColumn("n_tokens", F.size("t"))
+    # sequence(0, negative) would generate a DESCENDING range — guard the
+    # short-doc case explicitly.
+    grams = t.select(
+        "doc_id",
+        F.when(
+            F.col("n_tokens") >= k,
+            F.expr(f"transform(sequence(0, n_tokens - {k}),"
+                   f" i -> md5(concat_ws(' ', slice(t, i + 1, {k}))))"),
+        ).otherwise(F.expr("array()")).alias("gs"),
+    )
+    g = grams.select("doc_id", F.posexplode("gs").alias("pos", "g"))
+    hits = (
+        g.withColumn("_df", F.count("*").over(W.partitionBy("g")))
+        .filter(F.col("_df") > 1)
+        .select("doc_id", "pos")
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    # k-grams at positions p_prev < p overlap-or-touch iff p <= p_prev + k
+    flagged = hits.withColumn("_prev", F.lag("pos").over(w)).withColumn(
+        "_new",
+        F.when(F.col("_prev").isNull() | (F.col("pos") - F.col("_prev") > k),
+               F.lit(1)).otherwise(F.lit(0)),
+    )
+    spans = flagged.withColumn("span_id", F.sum("_new").over(w))
+    return (
+        spans.groupBy("doc_id", "span_id")
+        .agg(F.min("pos").alias("s"), (F.max("pos") + k - 1).alias("e"))
+        .withColumn("span_len", F.col("e") - F.col("s") + 1)
+    )
+
+
+def doc_dup_profile_df(docs: DataFrame, k: int = 8) -> DataFrame:
+    """Per-document dedup profile — the T1 exact-copy facts and the T28
+    duplicated-span facts in one doc-grain frame: (doc_id, n_tokens,
+    n_copies, is_keeper, n_dup_spans, dup_tokens, max_span_len). Exact
+    copy-counting uses count/min OVER (PARTITION BY md5(text)) — one
+    shuffle, no groupBy + join-back. Span stats coalesce to 0 for clean
+    docs so the output has no NULLs (driver value-hash discipline)."""
+    wf = W.partitionBy(F.md5("text"))
+    per_doc = docs.select(
+        "doc_id",
+        F.count("*").over(wf).alias("n_copies"),
+        (F.col("doc_id") == F.min("doc_id").over(wf)).cast("int").alias("is_keeper"),
+        F.size(F.expr(
+            "filter(split(lower(regexp_replace(text, '[^a-z0-9]+', ' ')), ' '),"
+            " x -> x <> '')")).alias("n_tokens"),
+    )
+    span_stats = (
+        dup_spans_df(docs, k=k)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_dup_spans"),
+             F.sum("span_len").alias("dup_tokens"),
+             F.max("span_len").alias("max_span_len"))
+    )
+    zero = F.lit(0).cast("long")
+    return (
+        per_doc.join(span_stats, "doc_id", "left")
+        .select("doc_id",
+                F.col("n_tokens").cast("long").alias("n_tokens"),
+                F.col("n_copies").cast("long").alias("n_copies"),
+                F.col("is_keeper").cast("long").alias("is_keeper"),
+                F.coalesce("n_dup_spans", zero).alias("n_dup_spans"),
+                F.coalesce("dup_tokens", zero).alias("dup_tokens"),
+                F.coalesce("max_span_len", zero).alias("max_span_len"))
+    )
+
+
+# ------------------------------------------- T29: curriculum ordering
+
+def curriculum_order_df(d: DataFrame, phase_col,
+                        bucket_chars: int = 1) -> DataFrame:
+    """T29: curriculum ordering — assign every row a dense global
+    training position 1..n such that phases are consumed in order
+    (easy -> hard) and rows WITHIN a phase are deterministically
+    shuffled (hash order, not corpus order — adjacent source docs are
+    correlated, and a pretraining dataloader must not see them
+    back-to-back). The shuffle key is md5(doc_id) so the order is
+    reproducible across engines and runs; the position itself comes
+    from the two-phase windowless global sequence (plans/seq.py) with
+    (phase, md5-prefix) buckets — a monotone coarsening of the total
+    order (phase, shuf, doc_id), so no row funnels through a
+    single-partition window at any scale.
+
+    ``phase_col`` is a Column expression producing a small ordered int
+    (the difficulty bucket). Returns the input plus (shuf, phase,
+    curriculum_pos)."""
+    out = d.withColumn("phase", phase_col.cast("int")).withColumn(
+        "shuf", F.md5(F.col("doc_id").cast("string")))
+    out = out.withColumn("_sb", F.substring("shuf", 1, int(bucket_chars)))
+    out = with_global_seq(out, ["phase", "_sb"], ["shuf", "doc_id"],
+                          "curriculum_pos", start=1)
+    return out.drop("_sb")

@@ -1619,3 +1619,183 @@ SELECT doc_id,
        len(regexp_extract_all(text, '[.!?]')) AS n_sentence_marks
 FROM documents
 """
+
+
+# ========================= T28/T29: substring dedup + curriculum ordering ==
+#
+# Driver-grain variants of the `dedup_exact` and `corpus_clean` keys.
+# The natural testdata has NO exact-duplicate raw texts, no docs the
+# quality filter rejects, and only whole-document token-level copies —
+# so each variant UNIONs a small deterministic planted set (ids < 0)
+# that makes every branch non-vacuous: partial mid-document shared
+# spans, an exact text pair, a stopword-spam doc, a too-short doc.
+# The same rows are embedded in the oracle SQL as a VALUES list.
+
+def _fill(prefix: str, n: int) -> str:
+    return " ".join(f"{prefix}{i}" for i in range(n))
+
+
+_R1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+_R2 = "lambda mu nu xi omicron pi rho sigma tau upsilon"
+_EXACT_TXT = _fill("qz", 20)
+# -1/-2 share two disjoint 10-token runs separated by 12 unique filler
+# tokens (> k=8, so the runs merge into TWO spans, not one); -3 shares
+# only the first run (gram df=3); -4 is fully unique (zero spans, the
+# coalesce-to-0 branch); -5/-6 are byte-identical (n_copies=2, keeper
+# by min doc_id, plus a whole-doc 20-token span).
+PLANTED_SPAN_DOCS = [
+    (-1, f"{_fill('qa', 12)} {_R1} {_fill('qb', 12)} {_R2} {_fill('qc', 12)}"),
+    (-2, f"{_fill('qd', 12)} {_R1} {_fill('qe', 12)} {_R2} {_fill('qf', 12)}"),
+    (-3, f"{_fill('qg', 12)} {_R1} {_fill('qh', 12)}"),
+    (-4, _fill("qi", 30)),
+    (-5, _EXACT_TXT),
+    (-6, _EXACT_TXT),
+]
+
+_SPAN_VALUES = ", ".join(f"({i}, '{t}')" for i, t in PLANTED_SPAN_DOCS)
+
+
+def q_dedup_exact_driver(spark, sf):
+    """Driver key `dedup_exact`: the T1 exact-copy facts (n_copies,
+    first-writer keeper) FOLDED with the T28 exact-substring span stats
+    (pipeline_ops.doc_dup_profile_df / dup_spans_df) into one doc-grain
+    row. The oracle recomputes the k-gram -> duplicated-gram ->
+    gaps-and-islands span merge independently in DuckDB, so a wrong
+    tokenization, a missed gram, an off-by-one span boundary, or a
+    broken merge flips the hash."""
+    from web_crawler_spark.plans.pipeline_ops import doc_dup_profile_df
+
+    base = _t(spark, sf, "documents").select("doc_id", "text")
+    planted = spark.createDataFrame(PLANTED_SPAN_DOCS, "doc_id long, text string")
+    return doc_dup_profile_df(base.unionByName(planted), k=8)
+
+
+SQL_DEDUP_EXACT_DRIVER = f"""
+WITH docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT * FROM (VALUES {_SPAN_VALUES}) v(doc_id, text)
+), toks AS (
+  SELECT doc_id, text,
+         list_filter(string_split(lower(regexp_replace(text, '[^a-z0-9]+', ' ', 'g')), ' '),
+                     x -> x <> '') AS t
+  FROM docs
+), base AS (
+  SELECT doc_id, len(t) AS n_tokens,
+         count(*) OVER (PARTITION BY md5(text)) AS n_copies,
+         CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY md5(text)) THEN 1 ELSE 0 END AS is_keeper
+  FROM toks
+), grams AS (
+  SELECT doc_id, i - 1 AS pos, md5(array_to_string(t[i:i+7], ' ')) AS g
+  FROM toks, unnest(range(1, len(t) - 8 + 2)) AS u(i)
+  WHERE len(t) >= 8
+), hits AS (
+  SELECT doc_id, pos
+  FROM (SELECT doc_id, pos, count(*) OVER (PARTITION BY g) AS df FROM grams)
+  WHERE df > 1
+), flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER w IS NULL OR pos - lag(pos) OVER w > 8
+              THEN 1 ELSE 0 END AS is_new
+  FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), spans AS (
+  SELECT doc_id, pos, sum(is_new) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+  FROM flagged
+), merged AS (
+  SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+  FROM spans GROUP BY doc_id, span_id
+), stats AS (
+  SELECT doc_id, count(*) AS n_dup_spans, sum(e - s + 1) AS dup_tokens,
+         max(e - s + 1) AS max_span_len
+  FROM merged GROUP BY 1
+)
+SELECT b.doc_id,
+       CAST(b.n_tokens AS BIGINT) AS n_tokens,
+       CAST(b.n_copies AS BIGINT) AS n_copies,
+       CAST(b.is_keeper AS BIGINT) AS is_keeper,
+       CAST(coalesce(s.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+       CAST(coalesce(s.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       CAST(coalesce(s.max_span_len, 0) AS BIGINT) AS max_span_len
+FROM base b LEFT JOIN stats s USING (doc_id)
+"""
+
+
+# -11 is pure stopwords (stop_ratio 1.0 -> quality-filtered), -14 has 4
+# words (< 5 -> length-filtered), -12/-13 are an exact pair (-13 keeps,
+# -12 drops) — so the surviving planted rows exercise filter, dedup AND
+# the phase-0 curriculum bucket.
+PLANTED_CLEAN_DOCS = [
+    (-11, "en", "the the the the a a a a"),
+    (-12, "de", _fill("zz", 10)),
+    (-13, "de", _fill("zz", 10)),
+    (-14, "fr", "u1 u2 u3 u4"),
+]
+
+_CLEAN_VALUES = ", ".join(f"({i}, '{lg}', '{t}')" for i, lg, t in PLANTED_CLEAN_DOCS)
+
+_PHASE_SQL = "CASE WHEN n_words < 40 THEN 0 WHEN n_words < 70 THEN 1 ELSE 2 END"
+
+
+def q_corpus_clean_driver(spark, sf):
+    """Driver key `corpus_clean`: the composed clean pass at DOC grain
+    (quality-score -> filter -> exact first-writer dedup) FOLDED with
+    T29 curriculum ordering (pipeline_ops.curriculum_order_df): every
+    surviving doc gets a difficulty phase (fixed n_words thresholds —
+    no global sort needed to assign it) and a dense global training
+    position where phases are consumed easy->hard and docs within a
+    phase follow a deterministic md5 shuffle. The position comes from
+    the two-phase windowless global sequence; the oracle is a plain
+    row_number() over the same (phase, md5(doc_id), doc_id) order, so
+    a wrong bucket offset or a non-monotone bucket key flips the hash
+    on ALL later positions."""
+    from web_crawler_spark.plans.pipeline_ops import curriculum_order_df
+
+    base = _t(spark, sf, "documents").select("doc_id", "lang", "text")
+    planted = spark.createDataFrame(
+        PLANTED_CLEAN_DOCS, "doc_id long, lang string, text string")
+    d = base.unionByName(planted)
+    words = F.split(F.col("text"), " ")
+    stop = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS)))
+    scored = d.select(
+        "doc_id", "lang", "text",
+        F.size(words).alias("n_words"),
+        (stop / F.greatest(F.size(words), F.lit(1))).alias("stop_ratio"),
+    )
+    filtered = scored.filter((F.col("n_words") >= 5) & (F.col("stop_ratio") <= 0.5))
+    w = W.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = (filtered.withColumn("rn", F.row_number().over(w))
+               .filter("rn = 1").drop("rn", "text", "stop_ratio"))
+    phase = (F.when(F.col("n_words") < 40, 0)
+             .when(F.col("n_words") < 70, 1).otherwise(2))
+    out = curriculum_order_df(deduped, phase)
+    return out.select("doc_id", "lang",
+                      F.col("n_words").cast("long").alias("n_words"),
+                      "phase", "curriculum_pos")
+
+
+SQL_CORPUS_CLEAN_DRIVER = f"""
+WITH docs AS (
+  SELECT doc_id, lang, text FROM documents
+  UNION ALL
+  SELECT * FROM (VALUES {_CLEAN_VALUES}) v(doc_id, lang, text)
+), scored AS (
+  SELECT doc_id, lang, text,
+         len(string_split(text, ' ')) AS n_words,
+         len(list_filter(string_split(text, ' '),
+             w -> w IN ('the','a','key','value','row','table')))
+           / greatest(len(string_split(text, ' ')), 1) AS stop_ratio
+  FROM docs
+), filtered AS (
+  SELECT * FROM scored WHERE n_words >= 5 AND stop_ratio <= 0.5
+), deduped AS (
+  SELECT * FROM filtered
+  QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+)
+SELECT doc_id, lang,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST({_PHASE_SQL} AS INT) AS phase,
+       CAST(row_number() OVER (
+            ORDER BY ({_PHASE_SQL}), md5(doc_id::VARCHAR), doc_id) AS BIGINT)
+         AS curriculum_pos
+FROM deduped
+"""
