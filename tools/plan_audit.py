@@ -73,6 +73,16 @@ def main() -> int:
          "W4+W5 fold: identical window spec, so Catalyst evaluates the "
          "frame aggregate and lag in ONE Window operator — the fold "
          "adds no shuffle"),
+        ("dedup_exact (T28 fold)", Q.q_dedup_exact_driver,
+         ["Generate", "Window", "HashAggregate"],
+         "T1+T28: k-gram explode (Generate) -> ONE gram-keyed shuffle "
+         "for the duplicated-gram count (Window over g) -> per-doc "
+         "gaps-and-islands merge (Window over doc_id) + span aggregate"),
+        ("corpus_clean (T29 fold)", Q.q_corpus_clean_driver,
+         ["Window", "BroadcastHashJoin"],
+         "T15+T29: fingerprint-dedup window + the two-phase curriculum "
+         "sequence's broadcast bucket-offset join — no single-partition "
+         "window assigns positions"),
     ]
 
     # absence checks: these operators must NOT contain the scale-killer
@@ -84,7 +94,31 @@ def main() -> int:
         return lambda p: [ln.strip() for ln in p.splitlines()
                           if all(s in ln for s in subs)]
 
+    def _exchange_payloads(p):
+        # formatted explain: each "(N) Exchange" block is followed by an
+        # "Input [n]: [...]" line listing the exact row payload it
+        # shuffles — the authoritative answer to "does text ride this?"
+        out, lines_ = [], p.splitlines()
+        for i, ln in enumerate(lines_):
+            if ") Exchange" in ln:
+                for j in range(i + 1, min(i + 4, len(lines_))):
+                    if lines_[j].strip().startswith("Input"):
+                        out.append(lines_[j].strip())
+                        break
+        return out
+
+    def _text_on_exchange(p):
+        return [l for l in _exchange_payloads(p) if "text#" in l]
+
     absent = [
+        ("dedup_exact (text on shuffle)", Q.q_dedup_exact_driver,
+         _text_on_exchange,
+         "raw text never rides an exchange — md5 fingerprints / k-gram "
+         "hashes shuffle instead (text is KBs/doc at corpus scale)"),
+        ("corpus_clean (text on shuffle)", Q.q_corpus_clean_driver,
+         _text_on_exchange,
+         "dedup window partitions on a pre-projected fingerprint; text "
+         "is dropped before any shuffle"),
         ("dedup_embedding_cosine", P.q_dedup_embedding_cosine,
          _lines_with("CartesianProduct"),
          "LSH band candidates + exact residual — no cartesian anywhere"),

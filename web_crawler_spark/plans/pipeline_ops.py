@@ -1035,17 +1035,24 @@ def doc_dup_profile_df(docs: DataFrame, k: int = 8) -> DataFrame:
     """Per-document dedup profile — the T1 exact-copy facts and the T28
     duplicated-span facts in one doc-grain frame: (doc_id, n_tokens,
     n_copies, is_keeper, n_dup_spans, dup_tokens, max_span_len). Exact
-    copy-counting uses count/min OVER (PARTITION BY md5(text)) — one
-    shuffle, no groupBy + join-back. Span stats coalesce to 0 for clean
+    copy-counting uses count/min OVER (PARTITION BY fingerprint) — one
+    shuffle, no groupBy + join-back; the md5 fingerprint is projected
+    BEFORE the window so raw text (KBs/doc) never rides the exchange,
+    only (doc_id, fp, n_tokens). Span stats coalesce to 0 for clean
     docs so the output has no NULLs (driver value-hash discipline)."""
-    wf = W.partitionBy(F.md5("text"))
-    per_doc = docs.select(
+    pre = docs.select(
         "doc_id",
-        F.count("*").over(wf).alias("n_copies"),
-        (F.col("doc_id") == F.min("doc_id").over(wf)).cast("int").alias("is_keeper"),
+        F.md5("text").alias("_fp"),
         F.size(F.expr(
             "filter(split(lower(regexp_replace(text, '[^a-z0-9]+', ' ')), ' '),"
             " x -> x <> '')")).alias("n_tokens"),
+    )
+    wf = W.partitionBy("_fp")
+    per_doc = pre.select(
+        "doc_id",
+        F.count("*").over(wf).alias("n_copies"),
+        (F.col("doc_id") == F.min("doc_id").over(wf)).cast("int").alias("is_keeper"),
+        "n_tokens",
     )
     span_stats = (
         dup_spans_df(docs, k=k)

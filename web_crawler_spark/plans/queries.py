@@ -1756,15 +1756,18 @@ def q_corpus_clean_driver(spark, sf):
     d = base.unionByName(planted)
     words = F.split(F.col("text"), " ")
     stop = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS)))
+    # fingerprint projected BEFORE the dedup window: raw text never
+    # rides the exchange, only (doc_id, lang, n_words, fp)
     scored = d.select(
-        "doc_id", "lang", "text",
+        "doc_id", "lang",
+        F.md5("text").alias("_fp"),
         F.size(words).alias("n_words"),
         (stop / F.greatest(F.size(words), F.lit(1))).alias("stop_ratio"),
     )
     filtered = scored.filter((F.col("n_words") >= 5) & (F.col("stop_ratio") <= 0.5))
-    w = W.partitionBy(F.md5("text")).orderBy("doc_id")
+    w = W.partitionBy("_fp").orderBy("doc_id")
     deduped = (filtered.withColumn("rn", F.row_number().over(w))
-               .filter("rn = 1").drop("rn", "text", "stop_ratio"))
+               .filter("rn = 1").drop("rn", "_fp", "stop_ratio"))
     phase = (F.when(F.col("n_words") < 40, 0)
              .when(F.col("n_words") < 70, 1).otherwise(2))
     out = curriculum_order_df(deduped, phase)
