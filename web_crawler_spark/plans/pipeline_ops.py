@@ -718,7 +718,12 @@ def q_dedup_clusters(spark, sf):
     closure oracle (tests/test_dup_clusters.py)."""
     from web_crawler_spark.plans import queries as Q
 
-    pairs = Q.q_ngram_jaccard(spark, sf).select("a_id", "b_id")
+    # materialize the pair join ONCE: the edge symmetrization reads it
+    # twice and recomputing a shingle equi-join per read is wasted work
+    # at any scale (at 10^10 docs it's the most expensive plan in the
+    # pipeline — you compute it exactly once and checkpoint)
+    pairs = (Q.q_ngram_jaccard(spark, sf).select("a_id", "b_id")
+             .localCheckpoint(eager=True))
     comp = dup_clusters_df(pairs)
     d = _docs(spark, sf).select("doc_id")
     return (
@@ -740,7 +745,10 @@ def q_ngram_jaccard_driver(spark, sf):
     (dup_clusters_df), not just the pair set."""
     from web_crawler_spark.plans import queries as Q
 
-    pairs = Q.q_ngram_jaccard(spark, sf)
+    # one materialization of the pair join — it feeds the edge
+    # symmetrization (two reads), the final pair output, and the join
+    # back; without this the shingle equi-join executes three times
+    pairs = Q.q_ngram_jaccard(spark, sf).localCheckpoint(eager=True)
     comp = dup_clusters_df(pairs.select("a_id", "b_id"))
     sizes = comp.groupBy("rep").agg(F.count("*").alias("cluster_size"))
     return (
