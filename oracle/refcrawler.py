@@ -194,8 +194,13 @@ def crawl(fix_dir: str, cfg: CrawlConfig = CrawlConfig()) -> OracleResult:
     for r in range(cfg.max_rounds):
         if not frontier or budget_left <= 0:
             break
-        if use_auth and log_rows:
-            auth = _authority_q(log_rows, canon_to_idx, hosts_all, n,
+        # rank-as-of semantics mirror the engine: round r uses the rank
+        # computed from rounds < r - (r % authority_refresh_every)
+        k_ref = max(1, int(getattr(cfg, "authority_refresh_every", 1)))
+        rank_round = r - (r % k_ref)
+        hist = [row for row in log_rows if row["round"] < rank_round]
+        if use_auth and rank_round > 0 and hist:
+            auth = _authority_q(hist, canon_to_idx, hosts_all, n,
                                 cfg.authority_iters, cfg.authority_damping)
             key = lambda f: (-auth.get(f["host"], 0), f["prio"], f["seq"])
         else:

@@ -100,3 +100,59 @@ def test_authority_resume_identical(spark, fix_dir, tmp_path_factory):
     resumed.run()
     got = resumed.cat.read("crawl_log").orderBy("fetch_seq").toPandas()
     pd.testing.assert_frame_equal(got, want)
+
+
+CFG_AUTH_K2 = CrawlConfig(per_host_k=2, max_rounds=4, priority_mode="authority",
+                          authority_refresh_every=2)
+
+
+@pytest.fixture(scope="module")
+def auth_k2_engine_and_oracle(spark, fix_dir, tmp_path_factory):
+    run_dir = str(tmp_path_factory.mktemp("run_auth_k2"))
+    eng = CrawlEngine(spark, fix_dir, run_dir, CFG_AUTH_K2)
+    eng.run()
+    return eng, crawl(fix_dir, CFG_AUTH_K2)
+
+
+def test_refresh_every_matches_oracle(auth_k2_engine_and_oracle):
+    """authority_refresh_every=2: round r uses the rank as of round
+    r - (r % 2) — the engine's filtered link graph and the oracle's
+    filtered log history must order every round identically."""
+    eng, res = auth_k2_engine_and_oracle
+    elog = eng.cat.read("crawl_log").orderBy("fetch_seq").toPandas()
+    assert len(elog) == len(res.crawl_log)
+    m = elog.merge(res.crawl_log, on="fetch_seq", suffixes=("_e", "_o"))
+    for c in LOG_COLS:
+        assert (m[f"{c}_e"] == m[f"{c}_o"]).all(), f"column {c} diverges"
+
+
+def test_refresh_every_staleness_is_real(auth_k2_engine_and_oracle, fix_dir):
+    """Non-vacuous: with k=2 round 1 runs BFS (rank as of round 0 = no
+    history) while k=1 ranks round 1 from round 0's fetches — the two
+    configs must diverge somewhere on this fixture."""
+    eng, _ = auth_k2_engine_and_oracle
+    k1 = crawl(fix_dir, CFG_AUTH)
+    k2_log = eng.cat.read("crawl_log").orderBy("fetch_seq").toPandas()
+    n = min(len(k2_log), len(k1.crawl_log))
+    assert list(k2_log["canon_url"][:n]) != list(k1.crawl_log["canon_url"][:n]), \
+        "refresh_every=2 produced the identical order to k=1 — vacuous fixture"
+
+
+def test_refresh_every_resume_identical(spark, fix_dir, tmp_path_factory):
+    """Kill-resume under k=2: the rank round is derived from r alone +
+    the committed log, so a restarted engine (empty in-memory rank
+    cache) must reproduce the uninterrupted run bit-for-bit — including
+    a resume INTO a non-refresh round (r=3 uses rank as of round 2)."""
+    full_dir = str(tmp_path_factory.mktemp("run_k2_full"))
+    CrawlEngine(spark, fix_dir, full_dir, CFG_AUTH_K2).run()
+    part_dir = str(tmp_path_factory.mktemp("run_k2_part"))
+    CrawlEngine(spark, fix_dir, part_dir,
+                CrawlConfig(per_host_k=2, max_rounds=3,
+                            priority_mode="authority",
+                            authority_refresh_every=2)).run()
+    resumed = CrawlEngine(spark, fix_dir, part_dir, CFG_AUTH_K2)
+    resumed.run()
+    a = CrawlEngine(spark, fix_dir, full_dir, CFG_AUTH_K2) \
+        .cat.read("crawl_log").orderBy("fetch_seq").toPandas()
+    b = resumed.cat.read("crawl_log").orderBy("fetch_seq").toPandas()
+    assert a.equals(b)

@@ -61,6 +61,19 @@ class CrawlConfig:
                                  # sequential float summation
     authority_iters: int = 10    # PageRank power-iteration rounds
     authority_damping: float = 0.85
+    authority_refresh_every: int = 1  # recompute host rank every k
+                                      # rounds; between refreshes round
+                                      # r uses the rank as of round
+                                      # r - (r % k), derived purely from
+                                      # the committed log so the choice
+                                      # is deterministic AND resume-safe
+                                      # (a restarted engine recomputes
+                                      # the same rank for the same
+                                      # round). k=1 is the per-round
+                                      # recompute (default, unchanged);
+                                      # larger k amortizes the per-round
+                                      # PageRank job at the cost of
+                                      # staler priorities
     snapshot_keep: int | None = None  # retain only the newest K per-round
                                       # snapshots (Iceberg
                                       # expire_snapshots + orphan GC);

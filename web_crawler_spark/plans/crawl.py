@@ -239,6 +239,7 @@ class CrawlEngine:
             ]),
         })
         self._ulm = None  # cached url_map frame (static after init)
+        self._rank_cache = None  # (through_round, rank frame) memo
         self.corpus = spark.read.parquet(os.path.join(fix_dir, "corpus.parquet"))
         self.n_corpus = self.corpus.count()
         txt_dir = os.path.join(fix_dir, "robots_txt")
@@ -288,7 +289,7 @@ class CrawlEngine:
             self._sketch = bloom.merge(
                 self._sketch, bloom.build_sketch(delta_df, self.cfg.bloom_bits))
 
-    def _host_rank_q(self):
+    def _host_rank_q(self, through_round: int | None = None):
         """Quantized host-level PageRank from the COMMITTED crawl_log
         (rounds < r): the authority signal priority_mode="authority"
         feeds into schedule_batch. Quantization floor(rank*1e6 + 0.5)
@@ -300,23 +301,39 @@ class CrawlEngine:
         iteration is a small job beside the round's fetch work; ranks
         of a round could also be cached forward and refreshed every k
         rounds without changing the contract. Callers skip the call
-        while the log is empty (round 0 has no history — pure BFS)."""
+        while the log is empty (round 0 has no history — pure BFS).
+
+        ``through_round``: rank-as-of semantics — only log rows with
+        round < through_round feed the graph (authority_refresh_every:
+        round r uses through_round = r - (r % k)). The result is cached
+        in memory per through_round, so between refreshes the PageRank
+        job doesn't rerun; the cache key is derived from r alone plus
+        the committed log, making a resume recompute the identical
+        rank."""
         from web_crawler_spark.plans import reports
         from web_crawler_spark.plans.pipeline_ops import pagerank_df
 
+        if self._rank_cache is not None and self._rank_cache[0] == through_round:
+            return self._rank_cache[1]
         if self._ulm is None:
             self._ulm = self.cat.read("url_map").persist()
         edges = (
-            reports.link_edges(self.cat, self._ulm, self.n_corpus)
+            reports.link_edges(self.cat, self._ulm, self.n_corpus,
+                               max_round=through_round)
             .filter(F.col("src_host") != F.col("dst_host"))
             .select(F.col("src_host").alias("src"), F.col("dst_host").alias("dst"))
         )
         pr = pagerank_df(edges, iters=self.cfg.authority_iters,
                          damping=self.cfg.authority_damping)
-        return pr.select(
+        out = pr.select(
             F.col("id").alias("host"),
             F.floor(F.col("rank") * F.lit(1e6) + F.lit(0.5)).cast("long").alias("rank_q"),
         )
+        # pagerank_df already ran its (checkpointed) iterations; caching
+        # the small host-level result frame makes later rounds between
+        # refreshes reuse it without re-running the power iteration
+        self._rank_cache = (through_round, out)
+        return out
 
     # ------------------------------------------------------------------ init
     def _url_map(self) -> DataFrame:
@@ -419,8 +436,10 @@ class CrawlEngine:
             next_seq=int(ctr["next_seq"]),
             next_fetch_seq=int(ctr["next_fetch_seq"]),
             budget_left=budget_left,
-            host_rank=(self._host_rank_q()
+            host_rank=(self._host_rank_q(
+                           r - (r % max(1, int(cfg.authority_refresh_every))))
                        if cfg.priority_mode == "authority"
+                       and r - (r % max(1, int(cfg.authority_refresh_every))) > 0
                        and int(ctr["next_fetch_seq"]) > 0 else None),
         )
 

@@ -123,7 +123,8 @@ def crawl_frontier_join(cat) -> DataFrame:
     )
 
 
-def link_edges(cat, url_map: DataFrame, n_corpus: int) -> DataFrame:
+def link_edges(cat, url_map: DataFrame, n_corpus: int,
+               max_round: int | None = None) -> DataFrame:
     """The crawl's LINK GRAPH as a view over committed tables (no extra
     per-round write — same discipline as CrawlEngine.images_kept): each
     fetched row's deterministic out-links (plans/crawl.link_targets_expr,
@@ -134,7 +135,12 @@ def link_edges(cat, url_map: DataFrame, n_corpus: int) -> DataFrame:
     and always consistent with the log."""
     from web_crawler_spark.plans.crawl import link_targets_expr
 
-    log = cat.read("crawl_log").select("fetch_seq", "host", "image_id")
+    log = cat.read("crawl_log")
+    if max_round is not None:
+        # rank-as-of semantics (authority_refresh_every): only edges
+        # discovered strictly before `max_round` contribute
+        log = log.filter(F.col("round") < int(max_round))
+    log = log.select("fetch_seq", "host", "image_id")
     targets = link_targets_expr(F.col("image_id"), n_corpus)
     t = log.select(
         F.col("host").alias("src_host"),
