@@ -155,28 +155,43 @@ def main() -> int:
         lines.append(f"| `{name}` | _{why}_ | "
                      f"{'**' + str(len(bad)) + ' FOUND**' if bad else 'none ✓'} |")
     lines.append("")
-    lines += ["## ngram_jaccard cost model — why ~4 s at sf0.1 is the exact-algorithm floor", "",
-              "Measured workload at sf0.1 (5,000 docs, DuckDB ground truth):",
-              "27,213 distinct shingles, max df = 25, so EVERY co-occurrence is",
-              "row-local (df < df_split=64) and the total pair-emission work is",
-              "Σ_s C(df_s, 2) = **1.27 M struct emissions** — trivial volume.",
-              "Interleaved A/B this round (same session, window noise cancelled):",
-              "the committed plan 3.6–4.6 s; forcing a broadcast of the doc-size",
-              "dim ties it (AQE already broadcasts here, and an O(n_docs) dim is",
-              "NOT broadcastable at the 10^10 design point); carrying (doc_id,",
-              "n_sh) structs through the postings to delete both size joins is",
-              "~20% SLOWER (the ×2-wider posting shuffle costs more than the two",
-              "small joins it removes). Decomposition: ~2.2 s is the scan +",
-              "split + 3-gram build + xxhash64 of 260 k shingle rows (tokenize-",
-              "bound, scales linearly and spreads across executors); the rest is",
-              "4–5 stage barriers at ~0.4 s each — fixed local-mode latency, not",
-              "data volume. PPJoin prefix filtering cannot help at the",
-              "registered θ=0.2: the prefix is (1-θ)·|d|+1 ≈ 80% of each doc's",
-              "shingles, so the candidate set barely shrinks (it pays at",
-              "θ ≥ 0.8). Conclusion: at this SF the operator is at its exact-",
-              "algorithm floor; the scalable lever that remains is df_split",
-              "(bounding per-row expansion) which only matters once hot",
-              "shingles (df ≥ 64) exist — none do at sf0.1.", "",
+    lines += ["## Generate re-evaluation — the explode trap, found and fixed this round", "",
+              "Spark's `Generate` re-evaluates an INLINE generator expression per",
+              "OUTPUT row (projection collapse pushes the building expression into",
+              "the generator). Exploding a transform-built array therefore re-runs",
+              "the whole array construction once per element it emits — O(len)",
+              "extra full evaluations per row, pure CPU waste at any scale.",
+              "Measured at sf0.1 (interleaved, same session):",
+              "", "| site | inline-array explode | positions-then-compute |", "|---|---|---|",
+              "| T28 k-gram build (dedup_exact driver) | 7.9 s | **0.5 s** |",
+              "| 3-gram shingles (ngram_jaccard/decontaminate) | 1.9 s | **0.37 s** |",
+              "| full dedup_exact driver row (noop sink) | 10.7 s | **1.4 s** |",
+              "",
+              "Fix pattern (now used at every string-heavy explode): explode the",
+              "integer POSITION (`sequence(0, n-k)`), compute the gram/shingle",
+              "once per exploded row, dedupe after if needed. The hybrid-index",
+              "pair expansion became two cascaded int explodes for the same",
+              "reason (a one-shot C(df,2) struct array would be rebuilt once per",
+              "pair). Python-UDF-built arrays (LSH band codes) are NOT affected:",
+              "ExtractPythonUDFs materializes them in their own plan node.",
+              "Cheap int-array children (pack_sequences' bin sequence, crawl",
+              "link targets) are left inline — re-evaluating a small int range",
+              "costs less than restructuring. A second timing trap documented",
+              "here: `count()` can DELETE the expensive branch entirely (left",
+              "joins against aggregates with unique keys are eliminated when no",
+              "column is referenced), so operator timings use a noop-sink write,",
+              "never count.", "",
+              "## ngram_jaccard cost model (updated)", "",
+              "Workload at sf0.1: 27,213 distinct shingles, max df = 25 — every",
+              "co-occurrence is row-local (df < df_split=64), Σ C(df,2) = 1.27 M",
+              "pair emissions. After the explode fix the full driver row",
+              "(pairs + connected components + size join) runs **3.7–4.3 s**,",
+              "below round 3's 3.95 s for the pairs alone; the residual is the",
+              "two cluster-loop barriers + 4–5 stage launches at ~0.4 s each —",
+              "fixed local-mode latency, not data volume. PPJoin prefix",
+              "filtering still cannot help at θ=0.2 (prefix ≈ 80% of each doc's",
+              "shingles). The scalable lever remains df_split, which only",
+              "matters once df ≥ 64 shingles exist — none do at sf0.1.", "",
               "## Regenerate", "", "```", "python tools/plan_audit.py", "```", ""]
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                        "BENCH", "PLANS.md")

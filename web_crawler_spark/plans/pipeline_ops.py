@@ -985,13 +985,17 @@ def dup_spans_df(docs: DataFrame, k: int = 8,
     PASTED INTO otherwise-unique documents.
 
     Plan (all JVM, zero Python):
-      1. tokenize + per-position k-gram md5 via transform/slice — one
-         projection, no explode until the grams exist;
-      2. posexplode -> (doc_id, pos, gram); duplicated grams found with
-         count(*) OVER (PARTITION BY gram) — ONE shuffle keyed by the
-         gram hash (the same shingle-shuffle shape as ngram_jaccard,
-         which survives the 100x audit), not groupBy + join-back which
-         would shuffle the grams twice;
+      1. explode integer POSITIONS (sequence(0, n-k)), then compute
+         each k-gram md5 once per exploded row. NOT
+         explode(transform(...)): Generate re-evaluates an inline
+         generator expression per OUTPUT row, so exploding a
+         transform-built md5 array costs O(grams per doc) extra
+         evaluations of the whole array — measured 7.9s vs 0.5s at
+         sf0.1 for this exact stage;
+      2. duplicated grams found with count(*) OVER (PARTITION BY gram)
+         — ONE shuffle keyed by the gram hash (the same shingle-shuffle
+         shape as ngram_jaccard, which survives the 100x audit), not
+         groupBy + join-back which would shuffle the grams twice;
       3. hit positions merge into maximal spans per doc with the classic
          gaps-and-islands window (lag + running sum) — partitioned by
          doc_id, so the window never exceeds one document's positions.
@@ -1008,17 +1012,15 @@ def dup_spans_df(docs: DataFrame, k: int = 8,
         " x -> x <> '')")
     t = docs.select(F.col(id_col).alias("doc_id"), toks.alias("t"))
     t = t.withColumn("n_tokens", F.size("t"))
-    # sequence(0, negative) would generate a DESCENDING range — guard the
-    # short-doc case explicitly.
-    grams = t.select(
-        "doc_id",
-        F.when(
-            F.col("n_tokens") >= k,
-            F.expr(f"transform(sequence(0, n_tokens - {k}),"
-                   f" i -> md5(concat_ws(' ', slice(t, i + 1, {k}))))"),
-        ).otherwise(F.expr("array()")).alias("gs"),
+    # filter first: sequence(0, negative) would generate a DESCENDING
+    # range for docs shorter than k (they contribute no grams anyway)
+    g = (
+        t.filter(F.col("n_tokens") >= k)
+        .select("doc_id", "t",
+                F.explode(F.expr(f"sequence(0, n_tokens - {k})")).alias("pos"))
+        .select("doc_id", "pos",
+                F.expr(f"md5(concat_ws(' ', slice(t, pos + 1, {k})))").alias("g"))
     )
-    g = grams.select("doc_id", F.posexplode("gs").alias("pos", "g"))
     hits = (
         g.withColumn("_df", F.count("*").over(W.partitionBy("g")))
         .filter(F.col("_df") > 1)

@@ -899,16 +899,24 @@ FROM documents
 
 def _shingle3_hashes(d):
     """doc_id × distinct int64-hashed 3-gram shingles (the shared
-    tokenization of ngram_jaccard / decontaminate)."""
-    words = F.split(F.col("text"), " ")
-    sh = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(words) - 3, F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(words, i + 1, 3)),
-        )
+    tokenization of ngram_jaccard / decontaminate).
+
+    Shape note: explode integer POSITIONS, hash per exploded row, then
+    distinct — NOT explode(array_distinct(transform(...))). Generate
+    re-evaluates an inline generator expression per OUTPUT row, so the
+    transform-built shingle array would be rebuilt once per shingle it
+    emits (O(doc_len) extra full-array evaluations per doc) — measured
+    5x slower at sf0.1. The distinct's (doc_id, shingle) exchange is
+    8-byte keys with map-side combine; the removed re-evaluation is
+    pure CPU at any scale."""
+    return (
+        d.select("doc_id", F.split(F.col("text"), " ").alias("w"))
+        .select("doc_id", "w",
+                F.explode(F.expr("sequence(0, greatest(size(w) - 3, 0))")).alias("i"))
+        .select("doc_id",
+                F.xxhash64(F.expr("concat_ws(' ', slice(w, i + 1, 3))")).alias("shingle"))
+        .distinct()
     )
-    return (d.select("doc_id", F.explode(sh).alias("sh_str"))
-            .select("doc_id", F.xxhash64("sh_str").alias("shingle")))
 
 
 def q_decontaminate(spark, sf, min_shared: int = 2):
@@ -1106,13 +1114,17 @@ def q_repetition_quality(spark, sf):
             F.max("c").alias("top_word_cnt"),
         )
     )
-    # 0-based Spark SQL array indexing: gram j = words[j] ' ' words[j+1]
-    grams = base.select(
-        "doc_id",
-        F.explode(F.expr(
-            "transform(slice(words, 1, greatest(size(words) - 1, 0)),"
-            " (w, i) -> concat(w, ' ', words[i + 1]))"
-        )).alias("g"),
+    # 0-based Spark SQL array indexing: gram j = words[j] ' ' words[j+1].
+    # Explode the int position then concat per exploded row — an inline
+    # transform-built gram array would be re-evaluated by Generate once
+    # per output row (see _shingle3_hashes). 1-word docs are filtered
+    # (they have no 2-grams; the final join is already a left join).
+    grams = (
+        base.filter(F.size("words") >= 2)
+        .select("doc_id", "words",
+                F.explode(F.expr("sequence(0, size(words) - 2)")).alias("j"))
+        .select("doc_id",
+                F.expr("concat(words[j], ' ', words[j + 1])").alias("g"))
     )
     gstats = (
         grams.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
@@ -1286,10 +1298,17 @@ def q_ngram_jaccard(spark, sf, df_split: int = 64):
             .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
             .filter(F.size("ids") >= 2))
     low = post.filter(F.size("ids") < df_split)
-    pair_arr = F.flatten(F.transform("ids", lambda a, i:
-        F.transform(F.slice(F.col("ids"), i.cast("int") + 2, F.size("ids")),
-                    lambda b: F.struct(a.alias("a_id"), b.alias("b_id")))))
-    low_pairs = low.select(F.explode(pair_arr).alias("p")).select("p.a_id", "p.b_id")
+    # two cascaded int explodes, NOT explode(flatten(transform(...))):
+    # Generate re-evaluates an inline generator per OUTPUT row, so a
+    # one-shot C(df,2) struct array would be rebuilt once per pair it
+    # emits — O(C(df,2)^2) struct churn per posting. Exploding the
+    # first-element index and then the tail slice keeps every
+    # re-evaluated child a bounded int array (df < df_split).
+    low_pairs = (
+        low.select("ids", F.explode(F.expr("sequence(0, size(ids) - 2)")).alias("i"))
+        .select(F.expr("ids[i]").alias("a_id"),
+                F.explode(F.expr("slice(ids, i + 2, size(ids))")).alias("b_id"))
+    )
     hot = post.filter(F.size("ids") >= df_split).select(
         "shingle", F.explode("ids").alias("doc_id"))
     hot_pairs = (
