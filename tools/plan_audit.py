@@ -110,7 +110,26 @@ def main() -> int:
     def _text_on_exchange(p):
         return [l for l in _exchange_payloads(p) if "text#" in l]
 
+    def _expensive_generator(p):
+        # Generate re-evaluates its inline generator per OUTPUT row —
+        # a string-building transform/md5/concat_ws inside an explode
+        # is the O(len) re-evaluation trap fixed this round. The
+        # generator expression appears on the Generate block's
+        # Arguments line in formatted explain.
+        return [ln.strip()[:160] for ln in p.splitlines()
+                if "Arguments" in ln and "explode" in ln
+                and any(s in ln for s in ("transform(", "md5(", "concat_ws("))]
+
     absent = [
+        ("dedup_exact (explode trap)", Q.q_dedup_exact_driver,
+         _expensive_generator,
+         "k-grams explode int positions, never an inline-built string array"),
+        ("ngram_jaccard (explode trap)", Q.q_ngram_jaccard,
+         _expensive_generator,
+         "shingles + pair expansion explode int positions/tails only"),
+        ("repetition_quality (explode trap)", Q.q_repetition_quality,
+         _expensive_generator,
+         "2-grams concat after the position explode"),
         ("dedup_exact (text on shuffle)", Q.q_dedup_exact_driver,
          _text_on_exchange,
          "raw text never rides an exchange — md5 fingerprints / k-gram "
