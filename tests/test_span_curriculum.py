@@ -136,3 +136,60 @@ def test_no_cartesian_in_span_plan(spark):
     plan = dup_spans_df(d, k=8)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def _ref_spans(docs: dict[int, list[str]], k: int = 8):
+    """Pure-Python reference for dup_spans_df: k-gram -> global df ->
+    per-doc maximal merged spans (overlap-or-touch)."""
+    from collections import Counter
+    grams = Counter()
+    pos = {}
+    for did, toks in docs.items():
+        pos[did] = []
+        for i in range(len(toks) - k + 1):
+            g = " ".join(toks[i:i + k])
+            grams[g] += 1
+            pos[did].append((i, g))
+    out = {}
+    for did, hits in pos.items():
+        dup = sorted(i for i, g in hits if grams[g] > 1)
+        spans = []
+        for p in dup:
+            if spans and p <= spans[-1][1] + 1:
+                spans[-1] = (spans[-1][0], max(spans[-1][1], p + k - 1))
+            else:
+                spans.append((p, p + k - 1))
+        if spans:
+            out[did] = spans
+    return out
+
+
+def test_dup_spans_property_vs_python_reference(spark):
+    """Randomized (seeded) corpus with planted shared runs: the Spark
+    plan must produce exactly the reference's maximal spans."""
+    import random
+
+    rng = random.Random(20260818)
+    vocab = [f"w{i}" for i in range(50)]
+    # no underscores: the engine tokenizer splits on [^a-z0-9]+
+    shared = [[f"s{j}x{i}" for i in range(rng.randint(8, 14))] for j in range(6)]
+    docs = {}
+    for did in range(60):
+        toks = [rng.choice(vocab) for _ in range(rng.randint(3, 40))]
+        # vocab of 50 makes natural 8-gram collisions essentially
+        # impossible; planted runs drive the dup structure
+        for run in shared:
+            if rng.random() < 0.25:
+                at = rng.randint(0, len(toks))
+                toks = toks[:at] + run + toks[at:]
+        docs[did] = toks
+    ref = _ref_spans(docs, k=8)
+    df = spark.createDataFrame(
+        [(did, " ".join(toks)) for did, toks in docs.items()],
+        "doc_id long, text string")
+    got = {}
+    for r in dup_spans_df(df, k=8).collect():
+        got.setdefault(r["doc_id"], []).append((r["s"], r["e"]))
+    for v in got.values():
+        v.sort()
+    assert got == ref
