@@ -29,6 +29,10 @@ default            : time the headline queries at $SPARK_GRAFT_SF_DIR
                      results asserted (BENCH/FRONTIER.md).
 --pack             : sequence packing at 10^8 docs — the two-phase
                      global prefix sum + bin explosion at stress scale.
+--spans            : exact-substring span dedup (T28) over a synthetic
+                     JVM-generated corpus with planted copies and
+                     boilerplate runs; recall floor AND precision
+                     ceiling asserted distributed.
 --soak [--xlarge]  : the same BSP crawl loop at growing per-round batch
                      sizes — fixed-cost amortization evidence
                      (BENCH/SOAK.md).
@@ -404,6 +408,82 @@ def run_pack_stress(rows: int, ctx_len: int, cores: int) -> None:
     }))
 
 
+# ---------------------------------------------------------- spans stress
+
+def run_spans_stress(rows: int, cores: int) -> None:
+    """Exact-substring span dedup (T28) at stress scale: a synthetic
+    corpus generated entirely JVM-side (one deterministic token per
+    (doc, position) — no Python, no driver data) with PLANTED structure:
+    every 50th doc is a byte-exact copy of the doc 50 below it, and
+    every 17th doc is prefixed with a shared 12-token boilerplate run.
+    Runs pipeline_ops.dup_spans_df end-to-end and verifies the planted
+    counts distributed: copies must yield whole-doc spans, the
+    boilerplate run must be found in every planted doc, and unplanted
+    unique docs must have zero spans."""
+    from pyspark.sql import functions as F
+
+    from web_crawler_spark.plans.pipeline_ops import dup_spans_df
+    from web_crawler_spark.session import get_spark
+
+    spark = get_spark(app="wcs-spans", cores=cores,
+                      shuffle_partitions=max(cores * 4, 32))
+    run = " ".join(f"boiler{i}" for i in range(12))
+    # gen_id: copies share their source's generated body (deterministic
+    # generator => identical text); vocab 50k makes accidental 8-gram
+    # collisions between distinct (doc, pos) streams impossible in
+    # practice, so dup structure is exactly the planted structure
+    # copy pairs: ids ≡ 50 (mod 100) generate from id-50 (≡ 0 mod 100,
+    # which is never remapped itself — a naive `every 50th copies id-50`
+    # chains remappings and produces no duplicate text at all)
+    base = spark.range(0, rows, 1, 256).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 100 == 50, F.col("id") - 50)
+        .otherwise(F.col("id")).alias("gen_id"),
+    )
+    # hashed token stream, NOT an arithmetic progression: with tokens
+    # linear in (gen_id, j), 131·Δgen ≡ 7919·Δj (mod vocab) makes whole
+    # doc FAMILIES share long runs (one congruence covers every gram
+    # position) — measured: every doc got flagged. Hashing breaks it.
+    body = F.expr(
+        "concat_ws(' ', transform(sequence(0, 39 + cast(gen_id % 21 as int)),"
+        " j -> concat('w', pmod(xxhash64(gen_id * 4096 + j), 50021))))")
+    docs = base.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 17 == 0,
+               F.concat(F.lit(run), F.lit(" "), body))
+        .otherwise(body).alias("text"),
+    )
+    spans = dup_spans_df(docs, k=8)
+    t0 = time.perf_counter()
+    _materialize(spans)
+    wall = round(time.perf_counter() - t0, 3)
+    # distributed invariant checks (no driver-side row data)
+    agg = spans.agg(
+        F.count("*").alias("n_spans"),
+        F.countDistinct("doc_id").alias("docs_hit"),
+        F.sum("span_len").alias("dup_tokens")).first()
+    boiler_docs = (rows + 16) // 17          # ids ≡ 0 (mod 17)
+    copy_docs = max(0, (rows - 50 + 99) // 100)  # ids ≡ 50 (mod 100)
+    # recall floor: every boiler doc + both members of every copy pair
+    # are hit; precision ceiling: NOTHING ELSE is (a generator collision
+    # — the arithmetic-progression failure above — blows through it)
+    assert agg["docs_hit"] >= boiler_docs, (agg["docs_hit"], boiler_docs)
+    assert agg["n_spans"] >= boiler_docs + copy_docs, \
+        (agg["n_spans"], boiler_docs, copy_docs)
+    assert agg["docs_hit"] <= boiler_docs + 2 * copy_docs, \
+        (agg["docs_hit"], boiler_docs, copy_docs)
+    tokens = rows * 50  # ~avg body length, for throughput reporting
+    print(json.dumps({
+        "metric": "exact-substring span dedup docs/sec at stress scale "
+                  "(planted copy/boilerplate recall asserted)",
+        "docs": rows, "cores": cores,
+        "spans": int(agg["n_spans"]), "docs_hit": int(agg["docs_hit"]),
+        "dup_tokens": int(agg["dup_tokens"]),
+        "elapsed_sec": wall, "docs_per_sec": round(rows / wall, 1),
+        "approx_tokens_per_sec": round(tokens / wall, 1),
+    }))
+
+
 # ------------------------------------------------------------- scale job
 
 def run_scale_job(cores: int, rows: int) -> None:
@@ -645,5 +725,7 @@ if __name__ == "__main__":
     elif "--pack" in args:
         run_pack_stress(_flag("--rows", 100_000_000),
                         _flag("--ctx", 2048), _flag("--cores", CPUS))
+    elif "--spans" in args:
+        run_spans_stress(_flag("--rows", 2_000_000), _flag("--cores", CPUS))
     else:
         run_headline()

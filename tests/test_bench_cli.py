@@ -56,3 +56,14 @@ def test_pack_stress_small_n():
     assert j["docs"] == 50000
     assert j["segments"] >= j["docs"] * 0  # parses; segments reported
     assert j["tokens"] > 0 and j["tokens_per_sec"] > 0
+
+
+@pytest.mark.stress_lite
+def test_spans_stress_small_n():
+    j = _run(["--spans", "--rows", "20000", "--cores", "8"], timeout=360)
+    # recall floor + precision ceiling are hard asserts inside bench.py
+    assert j["docs"] == 20000
+    boiler = (20000 + 16) // 17
+    copies = (20000 - 50 + 99) // 100
+    assert boiler <= j["docs_hit"] <= boiler + 2 * copies
+    assert j["dup_tokens"] > 0 and j["docs_per_sec"] > 0
