@@ -125,3 +125,84 @@ def test_crawl_images_kept_export(spark, fix_dir, tmp_path):
     back = spark.read.parquet(f"{out}/data")
     assert back.select("doc_id").distinct().count() == n
     assert set(r["caption"] is not None for r in back.collect()) == {True}
+
+
+# ------------------------------------------------ ST6: streaming twin
+
+def _write_doc_files(spark, base, n_files=3, rows_per=40):
+    """n_files single parquet FILES (one micro-batch each under
+    maxFilesPerTrigger=1), disjoint doc_id ranges. Spark writes
+    directories, so move the lone part file out."""
+    os.makedirs(base, exist_ok=True)
+    for i in range(n_files):
+        tmp = f"{base}/_tmp_f{i}"
+        (spark.range(i * rows_per, (i + 1) * rows_per)
+         .select(F.col("id").alias("doc_id"),
+                 F.concat(F.lit("doc "), F.col("id").cast("string")).alias("text"))
+         .coalesce(1).write.mode("overwrite").parquet(tmp))
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        os.replace(f"{tmp}/{part}", f"{base}/f{i}.parquet")
+        shutil.rmtree(tmp)
+
+
+def test_stream_shards_positions_continue(spark, tmp_path):
+    from web_crawler_spark.streaming.stream_ops import stream_export_shards
+
+    src = str(tmp_path / "src")
+    _write_doc_files(spark, src, n_files=3, rows_per=40)
+    out = str(tmp_path / "out")
+    back = stream_export_shards(spark, src, out, shard_size=32)
+    rows = back.select("doc_id", "curriculum_pos", "shard_id").collect()
+    n = len(rows)
+    assert n == 120
+    assert sorted(r["curriculum_pos"] for r in rows) == list(range(1, n + 1))
+    for r in rows:
+        assert r["shard_id"] == (r["curriculum_pos"] - 1) // 32
+    # a shard left partial by one batch (40 % 32 != 0) is completed by
+    # the next: shards 0..2 are exactly full on the final table
+    sizes = {r["shard_id"]: 0 for r in rows}
+    for r in rows:
+        sizes[r["shard_id"]] += 1
+    assert [sizes[i] for i in sorted(sizes)] == [32, 32, 32, 24]
+
+
+def test_stream_shards_restart_continues(spark, tmp_path):
+    """Run the stream over 2 files, then add a 3rd and rerun with the
+    SAME checkpoint: earlier batches' data is untouched (bit-identical
+    read) and new positions continue the counter."""
+    from web_crawler_spark.streaming.stream_ops import stream_export_shards
+
+    src = str(tmp_path / "src")
+    _write_doc_files(spark, src, n_files=2, rows_per=40)
+    out = str(tmp_path / "out")
+    first = stream_export_shards(spark, src, out, shard_size=32)
+    snap = sorted(map(tuple, first.select(
+        "doc_id", "curriculum_pos", "shard_id").collect()))
+    assert len(snap) == 80
+    _write_doc_files(spark, src, n_files=3, rows_per=40)  # adds f2 only (f0/f1 rewritten identical)
+    again = stream_export_shards(spark, src, out, shard_size=32)
+    rows = sorted(map(tuple, again.select(
+        "doc_id", "curriculum_pos", "shard_id").collect()))
+    assert len(rows) == 120
+    assert rows[:0] == []  # keep mypy quiet
+    # original 80 rows identical, 40 new rows continue 81..120
+    old = [r for r in rows if r[0] < 80]
+    assert sorted(old) == snap
+    new_pos = sorted(r[1] for r in rows if r[0] >= 80)
+    assert new_pos == list(range(81, 121))
+
+
+def test_stream_shards_matches_batch_sink_per_batch(spark, tmp_path):
+    """Within one micro-batch the streaming order IS the batch sink's
+    order: one-file source == batch shard_plan on the same rows."""
+    from web_crawler_spark.sources.shards import shard_plan
+    from web_crawler_spark.streaming.stream_ops import stream_export_shards
+
+    src = str(tmp_path / "src")
+    _write_doc_files(spark, src, n_files=1, rows_per=50)
+    out = str(tmp_path / "out")
+    got = stream_export_shards(spark, src, out, shard_size=16)
+    exp = shard_plan(spark.read.parquet(f"{src}/f0.parquet"), 16)
+    a = sorted(map(tuple, got.select("doc_id", "curriculum_pos", "shard_id").collect()))
+    b = sorted(map(tuple, exp.select("doc_id", "curriculum_pos", "shard_id").collect()))
+    assert a == b

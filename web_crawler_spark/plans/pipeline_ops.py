@@ -1093,7 +1093,7 @@ def doc_dup_profile_df(docs: DataFrame, k: int = 8) -> DataFrame:
 # ------------------------------------------- T29: curriculum ordering
 
 def curriculum_order_df(d: DataFrame, phase_col,
-                        bucket_chars: int = 1) -> DataFrame:
+                        bucket_chars: int = 1, start: int = 1) -> DataFrame:
     """T29: curriculum ordering — assign every row a dense global
     training position 1..n such that phases are consumed in order
     (easy -> hard) and rows WITHIN a phase are deterministically
@@ -1113,5 +1113,5 @@ def curriculum_order_df(d: DataFrame, phase_col,
         "shuf", F.md5(F.col("doc_id").cast("string")))
     out = out.withColumn("_sb", F.substring("shuf", 1, int(bucket_chars)))
     out = with_global_seq(out, ["phase", "_sb"], ["shuf", "doc_id"],
-                          "curriculum_pos", start=1)
+                          "curriculum_pos", start=int(start))
     return out.drop("_sb")

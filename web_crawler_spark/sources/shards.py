@@ -34,15 +34,18 @@ _CHECKSUM = ("bit_xor(cast(conv(substr(md5(cast(doc_id as string)), 1, 15),"
 
 
 def shard_plan(d: DataFrame, shard_size: int, id_col: str = "doc_id",
-               phase_col=None) -> DataFrame:
+               phase_col=None, start: int = 1) -> DataFrame:
     """Assign (phase, curriculum_pos, shard_id) to every row. ``id_col``
     must be unique (it seeds the deterministic shuffle and totally
     orders ties). ``phase_col`` is an optional difficulty Column; absent,
-    all rows are phase 0 and the order is a pure md5 shuffle."""
+    all rows are phase 0 and the order is a pure md5 shuffle. ``start``
+    offsets the positions — the streaming sink continues a run's
+    position counter across micro-batches with it."""
     if int(shard_size) <= 0:
         raise ValueError(f"shard_size must be positive, got {shard_size}")
     x = d if id_col == "doc_id" else d.withColumnRenamed(id_col, "doc_id")
-    out = curriculum_order_df(x, phase_col if phase_col is not None else F.lit(0))
+    out = curriculum_order_df(
+        x, phase_col if phase_col is not None else F.lit(0), start=start)
     out = out.withColumn(
         "shard_id", F.expr(f"(curriculum_pos - 1) div {int(shard_size)}"))
     return out if id_col == "doc_id" else out.withColumnRenamed("doc_id", id_col)

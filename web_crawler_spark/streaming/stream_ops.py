@@ -272,3 +272,69 @@ def stateful_seen_filter_tws(
         ckpt,
     )
     return spark.read.parquet(os.path.join(out_dir, "data"))
+
+
+def stream_export_shards(
+    spark: SparkSession, docs_dir: str, out_dir: str, shard_size: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """ST6: streaming twin of the T30 training-shard sink
+    (sources/shards.export_training_shards). A document stream arrives
+    in micro-batches; every row gets a dense global position that
+    CONTINUES across batches (and across restarts), and positions map
+    to fixed-size shards exactly like the batch sink — a shard that is
+    partially filled when a batch ends is completed by the next batch.
+
+    Online constraint made explicit: a global curriculum (easy->hard
+    over the FULL corpus) cannot be assigned before the corpus is
+    complete, so the streaming order is arrival-order across batches
+    with the deterministic md5 shuffle WITHIN each batch — the same
+    within-batch order the batch sink would give that batch alone.
+
+    Exactly-once discipline (same as the engine's commit protocol):
+    each micro-batch OVERWRITES its own ``data/batch=<id>`` directory
+    (a replayed batch rewrites identical bytes), reads its start
+    position from the newest state file with a smaller batch id, and
+    commits its own ``_state/batch_<id>.json`` only after the data
+    write — so a crash between the two replays the batch into the same
+    positions. Returns the full shard table read back."""
+    import json
+
+    from web_crawler_spark.sources.shards import shard_plan
+
+    schema = spark.read.parquet(docs_dir).schema
+    dest = os.path.join(out_dir, "data")
+    state_dir = os.path.join(out_dir, "_state")
+    os.makedirs(state_dir, exist_ok=True)
+
+    def one_batch(batch_df: DataFrame, batch_id: int) -> None:
+        committed = []
+        for f in os.listdir(state_dir):
+            if f.startswith("batch_") and f.endswith(".json"):
+                b = int(f[len("batch_"):-len(".json")])
+                if b < batch_id:
+                    committed.append(b)
+        start = 0
+        if committed:
+            with open(os.path.join(state_dir, f"batch_{max(committed)}.json")) as fh:
+                start = json.load(fh)["end_pos"]
+        planned = shard_plan(batch_df, shard_size, id_col=id_col,
+                             start=start + 1)
+        (
+            planned.repartition("shard_id")
+            .sortWithinPartitions("shard_id", "curriculum_pos")
+            .write.mode("overwrite")
+            .parquet(os.path.join(dest, f"batch={batch_id}"))
+        )
+        n = batch_df.count()
+        tmp = os.path.join(state_dir, f"batch_{batch_id}.json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump({"end_pos": start + n}, fh)
+        os.replace(tmp, os.path.join(state_dir, f"batch_{batch_id}.json"))
+
+    ckpt = os.path.join(out_dir, "_ckpt")
+    _run_available_now(
+        _stream_parquet(spark, docs_dir, schema).writeStream.foreachBatch(one_batch),
+        ckpt,
+    )
+    return spark.read.option("basePath", dest).parquet(dest)
