@@ -1115,3 +1115,88 @@ def curriculum_order_df(d: DataFrame, phase_col,
     out = with_global_seq(out, ["phase", "_sb"], ["shuf", "doc_id"],
                           "curriculum_pos", start=int(start))
     return out.drop("_sb")
+
+
+# --------------------------------------- T31: subword tokenizer (WordPiece)
+
+# deterministic fixed vocabulary: every [a-z0-9] char (lossless floor)
+# plus multi-char merges chosen from the testdata's vocabulary so real
+# segmentations are non-trivial. Greedy longest-match-first (WordPiece
+# inference; Song et al. 2021 "Fast WordPiece Tokenization" documents
+# the same linear greedy scheme).
+SUBWORD_VOCAB = tuple(
+    sorted(
+        {chr(c) for c in range(ord("a"), ord("z") + 1)}
+        | {str(i) for i in range(10)}
+        | {"th", "the", "er", "ing", "ta", "table", "scan", "jo", "join",
+           "str", "eam", "batch", "qu", "query", "row", "val", "ue",
+           "sort", "merge", "fast", "slow", "data", "key", "hash",
+           "win", "dow", "fil", "ter", "group", "agg", "sp", "ark"},
+        key=lambda s: (-len(s), s),  # longest-first for the greedy scan
+    )
+)
+
+
+def segment_word(word: str, vocab=SUBWORD_VOCAB) -> list[str]:
+    """Pure-Python greedy longest-match segmentation (the reference
+    semantics; also the executable oracle in tests). Unknown chars
+    become '[unk]'. Concatenating the pieces (with [unk] standing for
+    exactly one char) always reproduces the word — lossless."""
+    out, i = [], 0
+    while i < len(word):
+        for piece in vocab:  # vocab is longest-first
+            if word.startswith(piece, i):
+                out.append(piece)
+                i += len(piece)
+                break
+        else:
+            out.append("[unk]")
+            i += 1
+    return out
+
+
+def subword_tokenize_df(d: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """T31: subword-tokenize a corpus, returning per-doc stats:
+    (doc_id, n_words, n_subwords, n_unk, chars_per_subword).
+
+    Scale shape — DICTIONARY-ENCODED tokenization: the Python segmenter
+    runs once per DISTINCT word, not once per word occurrence. At
+    corpus scale the distinct-word set grows ~Heaps' law (sublinear)
+    while occurrences grow linearly, so the Python stage is a
+    vanishing fraction of the work; everything corpus-sized (explode,
+    join, per-doc aggregation) stays JVM-side with map-side combine.
+    The (word -> pieces) table is the small side and broadcasts."""
+    words = (
+        d.select(F.col(id_col).alias("doc_id"),
+                 F.explode(F.split(F.lower(F.regexp_replace(
+                     text_col, "[^a-z0-9]+", " ")), " ")).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    occ = words.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+    distinct_words = occ.select("w").distinct()
+
+    @F.pandas_udf(T.StructType([
+        T.StructField("n_pieces", T.IntegerType()),
+        T.StructField("n_unk", T.IntegerType()),
+    ]))
+    def seg_stats(ws: pd.Series) -> pd.DataFrame:
+        pieces = [segment_word(w) for w in ws]
+        return pd.DataFrame({
+            "n_pieces": [len(p) for p in pieces],
+            "n_unk": [sum(1 for x in p if x == "[unk]") for p in pieces],
+        })
+
+    lex = distinct_words.withColumn("st", seg_stats("w")).select(
+        "w", F.col("st.n_pieces").alias("n_pieces"),
+        F.col("st.n_unk").alias("n_unk"), F.length("w").alias("wlen"))
+    return (
+        occ.join(F.broadcast(lex), "w")
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n_words"),
+             F.sum(F.col("c") * F.col("n_pieces")).alias("n_subwords"),
+             F.sum(F.col("c") * F.col("n_unk")).alias("n_unk"),
+             F.round(F.sum(F.col("c") * F.col("wlen"))
+                     / F.sum(F.col("c") * F.col("n_pieces")), 4)
+             .alias("chars_per_subword"))
+    )
