@@ -33,6 +33,12 @@ default            : time the headline queries at $SPARK_GRAFT_SF_DIR
                      JVM-generated corpus with planted copies and
                      boilerplate runs; recall floor AND precision
                      ceiling asserted distributed.
+--spans-hot        : T28 straggler A/B — ONE k-token boilerplate run
+                     (a single hot gram key, df in the millions) planted
+                     in half the docs; the old count-OVER-gram window
+                     twin vs the production groupBy+semi-join, per-stage
+                     max/median task-duration ratios scraped from the
+                     UI REST API (BENCH/PLANS.md skew section).
 --soak [--xlarge]  : the same BSP crawl loop at growing per-round batch
                      sizes — fixed-cost amortization evidence
                      (BENCH/SOAK.md).
@@ -484,6 +490,142 @@ def run_spans_stress(rows: int, cores: int) -> None:
     }))
 
 
+# ------------------------------------------------- spans hot-gram skew
+
+def run_spans_hot(rows: int, cores: int, hot_every: int = 2,
+                  hot_len: int = 8) -> None:
+    """T28 skew evidence (round-5 fix): ONE k-token boilerplate run
+    planted in every `hot_every`-th doc, so a single k-gram KEY
+    carries rows/hot_every occurrences — the license-header/navbar shape this
+    operator exists to find, and the exact key that used to funnel into
+    ONE window task (`count(*) OVER (PARTITION BY g)` has no partial
+    aggregation and AQE cannot split a window partition).
+
+    Runs the SAME hot corpus through BOTH shapes, interleaved in one
+    session (sandbox CPU noise discipline):
+      - `window`  — the old count-OVER-gram twin (local here, for A/B);
+      - `tiered`  — the production dup_spans_df (groupBy(g).count with
+        map-side combine; df>hot_df grams broadcast-SEMI so hot
+        positions never shuffle on g; bounded-df rest via shuffle SEMI
+        behind a broadcast ANTI).
+    AQE is NOT the safety net here and the probe proves why: with the
+    un-tiered join-back, AQE broadcast the tiny dup set at runtime but
+    the already-materialized position exchange was read 1:1 — a 10M-row
+    hot partition in ONE task (10.7 s vs 0.45 s median, measured) —
+    and the skew splitter rewrites only join stages, never a plain
+    skewed read.
+    The UI REST API is scraped for per-stage task-duration quantiles;
+    each shape reports its worst max/median task-duration ratio over
+    stages with >= 8 tasks. The groupby shape must show no straggler
+    (worst ratio bounded); the window twin's hot stage is expected to
+    blow through it — the JSON shows both so the contrast is measured,
+    not asserted from theory."""
+    import urllib.request
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from web_crawler_spark.plans.pipeline_ops import dup_spans_df
+    from web_crawler_spark.session import get_spark
+
+    # reducer count sized the way a 1000-executor cluster's would be
+    # (thousands of shuffle partitions), with AQE partition coalescing
+    # OFF for this probe: coalescing to ~38 fat local partitions makes
+    # every partition ~the hot key's size and hides the straggler that
+    # a real cluster would see (one hot key pins ONE of 10^4 reducers
+    # while the rest finish in ms). Skew-JOIN splitting stays ON — that
+    # is the mechanism under test for the join-back shape.
+    spark = get_spark(app="wcs-spans-hot", cores=cores,
+                      shuffle_partitions=512,
+                      extra={"spark.ui.enabled": "true",
+                             "spark.sql.adaptive.coalescePartitions.enabled":
+                             "false"})
+    k = 8
+    # skew concentrates on ONE gram KEY, so the hot run is exactly k
+    # tokens (hot_len=k -> a single hot k-gram) and its df = the number
+    # of planted docs (rows/hot_every, millions). A LONGER run would
+    # spread df over hot_len-k+1 DISTINCT gram keys that hash to
+    # different partitions — no straggler at all (measured: flat). The
+    # base body is kept short (11-13 tokens) so the hot key dominates
+    # total gram volume the way a license header dominates a crawl.
+    hot_run = " ".join(f"hot{i}" for i in range(hot_len))
+    body = F.expr(
+        "concat_ws(' ', transform(sequence(0, 10 + cast(doc_id % 3 as int)),"
+        " j -> concat('w', pmod(xxhash64(doc_id * 4096 + j), 50021))))")
+    docs = spark.range(0, rows, 1, 128).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % hot_every == 0,
+               F.concat(F.lit(hot_run), F.lit(" "), body))
+        .otherwise(body).alias("text"),
+    )
+
+    def window_twin(d):
+        # the pre-round-5 shape, kept ONLY as the A/B straggler exhibit
+        toks = F.expr(
+            "filter(split(lower(regexp_replace(text, '[^a-z0-9]+', ' ')), ' '),"
+            " x -> x <> '')")
+        t = (d.select("doc_id", toks.alias("t"))
+             .withColumn("n_tokens", F.size("t"))
+             .filter(F.col("n_tokens") >= k))
+        g = (t.select("doc_id", "t",
+                      F.explode(F.expr(f"sequence(0, n_tokens - {k})")).alias("pos"))
+             .select("doc_id", "pos",
+                     F.expr(f"md5(concat_ws(' ', slice(t, pos + 1, {k})))").alias("g")))
+        return (g.withColumn("_df", F.count("*").over(W.partitionBy("g")))
+                .filter(F.col("_df") > 1)
+                .groupBy("doc_id").agg(F.count("*").alias("n_hits")))
+
+    seen_stage_ids: set = set()
+
+    def task_skew() -> dict:
+        # worst max/median task duration over completed stages with
+        # >= 8 tasks, from the UI REST API (quantile endpoint). Only
+        # stages NEW since the last call count, so each shape's scrape
+        # covers exactly its own jobs.
+        base = spark.sparkContext.uiWebUrl
+        app = spark.sparkContext.applicationId
+        stages = json.loads(urllib.request.urlopen(
+            f"{base}/api/v1/applications/{app}/stages?status=complete",
+            timeout=30).read())
+        worst = {"ratio": 0.0, "stage": None, "max_ms": 0, "med_ms": 0}
+        for s in stages:
+            if s["stageId"] in seen_stage_ids:
+                continue
+            seen_stage_ids.add(s["stageId"])
+            if s.get("numCompleteTasks", 0) < 8:
+                continue
+            q = json.loads(urllib.request.urlopen(
+                f"{base}/api/v1/applications/{app}/stages/{s['stageId']}/"
+                f"{s['attemptId']}/taskSummary?quantiles=0.5,1.0",
+                timeout=30).read())
+            med, mx = q["executorRunTime"]
+            if med <= 0:
+                med = 1.0
+            ratio = mx / med
+            if mx >= 500 and ratio > worst["ratio"]:  # ignore trivial stages
+                worst = {"ratio": round(ratio, 2), "stage": s["stageId"],
+                         "max_ms": int(mx), "med_ms": int(med)}
+        return worst
+
+    results = {}
+    for name, frame in (("window", window_twin(docs)),
+                        ("tiered", dup_spans_df(docs, k=k))):
+        t0 = time.perf_counter()
+        _materialize(frame)
+        wall = round(time.perf_counter() - t0, 3)
+        results[name] = {"elapsed_sec": wall, "worst_task_skew": task_skew()}
+    hot_docs = (rows + hot_every - 1) // hot_every  # ids ≡ 0 (mod hot_every)
+    agg = dup_spans_df(docs, k=k).agg(
+        F.countDistinct("doc_id").alias("docs_hit")).first()
+    assert agg["docs_hit"] >= hot_docs - 1, (agg["docs_hit"], hot_docs)
+    print(json.dumps({
+        "metric": "T28 hot-gram (one gram key, df=rows/hot_every) straggler A/B: "
+                  "old window shape vs production two-tier join-back",
+        "docs": rows, "hot_docs": hot_docs, "cores": cores,
+        "shapes": results,
+    }))
+
+
 # ------------------------------------------------------------- scale job
 
 def run_scale_job(cores: int, rows: int) -> None:
@@ -725,6 +867,10 @@ if __name__ == "__main__":
     elif "--pack" in args:
         run_pack_stress(_flag("--rows", 100_000_000),
                         _flag("--ctx", 2048), _flag("--cores", CPUS))
+    elif "--spans-hot" in args:
+        run_spans_hot(_flag("--rows", 8_000_000), _flag("--cores", CPUS),
+                      hot_every=_flag("--hot-every", 2),
+                      hot_len=_flag("--hot-len", 8))
     elif "--spans" in args:
         run_spans_stress(_flag("--rows", 2_000_000), _flag("--cores", CPUS))
     else:

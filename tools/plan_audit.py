@@ -74,10 +74,14 @@ def main() -> int:
          "frame aggregate and lag in ONE Window operator — the fold "
          "adds no shuffle"),
         ("dedup_exact (T28 fold)", Q.q_dedup_exact_driver,
-         ["Generate", "Window", "HashAggregate"],
-         "T1+T28: k-gram explode (Generate) -> ONE gram-keyed shuffle "
-         "for the duplicated-gram count (Window over g) -> per-doc "
-         "gaps-and-islands merge (Window over doc_id) + span aggregate"),
+         ["Generate", "Window", "partial_count", "LeftSemi", "LeftAnti"],
+         "T1+T28: k-gram explode (Generate) -> duplicated grams via "
+         "partial-aggregated groupBy(g).count (map-side combine collapses "
+         "a boilerplate gram per-task) -> two-tier join-back: broadcast "
+         "SEMI for df>hot_df grams (positions never shuffle on a hot "
+         "key), broadcast ANTI + bounded shuffle SEMI (runtime-Bloom-"
+         "pruned) for the rest -> per-doc gaps-and-islands merge "
+         "(Window over doc_id) + span aggregate"),
         ("corpus_clean (T29 fold)", Q.q_corpus_clean_driver,
          ["Window", "BroadcastHashJoin"],
          "T15+T29: fingerprint-dedup window + the two-phase curriculum "
@@ -110,6 +114,20 @@ def main() -> int:
     def _text_on_exchange(p):
         return [l for l in _exchange_payloads(p) if "text#" in l]
 
+    def _window_on(*key_prefixes):
+        # no Window may partition on an unbounded-df key (a corpus-wide
+        # boilerplate gram / viral-doc fingerprint funnels every
+        # occurrence into ONE task — windows have no partial aggregation
+        # and AQE cannot split a window partition). Formatted explain
+        # puts the spec on the Window block's Arguments line as
+        # windowspecdefinition(<key>#id, ...).
+        def pred(p):
+            return [ln.strip()[:160] for ln in p.splitlines()
+                    if "windowspecdefinition(" in ln
+                    and any(f"windowspecdefinition({k}#" in ln
+                            for k in key_prefixes)]
+        return pred
+
     def _expensive_generator(p):
         # Generate re-evaluates its inline generator per OUTPUT row —
         # a string-building transform/md5/concat_ws inside an explode
@@ -130,6 +148,11 @@ def main() -> int:
         ("repetition_quality (explode trap)", Q.q_repetition_quality,
          _expensive_generator,
          "2-grams concat after the position explode"),
+        ("dedup_exact (window on unbounded-df key)", Q.q_dedup_exact_driver,
+         _window_on("g", "_fp"),
+         "duplicated-gram df and copy-counting are partial-aggregated "
+         "groupBys + join-backs; the only windows left partition on "
+         "doc_id (bounded by one document's positions)"),
         ("dedup_exact (text on shuffle)", Q.q_dedup_exact_driver,
          _text_on_exchange,
          "raw text never rides an exchange — md5 fingerprints / k-gram "
@@ -200,6 +223,33 @@ def main() -> int:
               "joins against aggregates with unique keys are eliminated when no",
               "column is referenced), so operator timings use a noop-sink write,",
               "never count.", "",
+              "## T28 hot-gram skew — round-5 fix, measured", "",
+              "`bench.py --spans-hot` plants ONE k-token boilerplate run in every",
+              "doc (a single gram key, df = 10^7) and runs the identical corpus",
+              "through the old `count(*) OVER (PARTITION BY g)` twin and the",
+              "production two-tier join-back, interleaved, 512 reducers,",
+              "AQE coalescing off (a cluster-like reducer count — local",
+              "coalescing to ~38 fat partitions hides any hot key):",
+              "", "| shape | wall | worst task | stage median | skew |", "|---|---|---|---|---|",
+              "| window twin | 52.4 s | **17.9 s** (the hot-gram sort) | 0.45 s | 40x |",
+              "| two-tier join-back | 53.7 s | **1.0 s** | 0.09 s | — |",
+              "",
+              "Same wall clock locally (the tiered shape pays a third gram-build",
+              "pass, xxhash64 instead of md5 pays it back); at 1000 executors the",
+              "window's straggler IS the job time while the tiered plan stays",
+              "flat. Three shapes were tried and rejected on measurement: the",
+              "un-tiered groupBy+semi-join (AQE broadcasts the small dup set at",
+              "runtime, but the already-materialized position exchange is read",
+              "1:1 — a 10M-row hot partition in ONE task, 10.7 s; AQE's skew",
+              "splitter rewrites join stages only, never a plain skewed read);",
+              "relying on skewJoin split thresholds (byte-based; a hot key's",
+              "identical hashes lz4-compress ~30x below the 256MB trigger at",
+              "probe scale); and a fused salted left-outer join that saves the",
+              "third gram pass (interleaved A/B: 47-158 s vs the tiered union's",
+              "35-47 s at 2M docs — preserving the left side defeats the",
+              "runtime Bloom pruning that drops df=1 positions pre-shuffle and",
+              "widens the exchange). The same two-tier pattern guards",
+              "doc_dup_profile_df's viral-fingerprint join.", "",
               "## ngram_jaccard cost model (updated)", "",
               "Workload at sf0.1: 27,213 distinct shingles, max df = 25 — every",
               "co-occurrence is row-local (df < df_split=64), Σ C(df,2) = 1.27 M",

@@ -980,7 +980,8 @@ def pack_sequences_df(docs: DataFrame, ctx_len: int,
 # ------------------------------------- T28: exact-substring (span) dedup
 
 def dup_spans_df(docs: DataFrame, k: int = 8,
-                 id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+                 id_col: str = "doc_id", text_col: str = "text",
+                 hot_df: int = 1_000_000) -> DataFrame:
     """T28: exact-substring dedup at TOKEN-SPAN granularity (the
     suffix-array dedup of Lee et al. 2021, "Deduplicating Training Data
     Makes Language Models Better", re-expressed as relational algebra):
@@ -998,21 +999,52 @@ def dup_spans_df(docs: DataFrame, k: int = 8,
          transform-built md5 array costs O(grams per doc) extra
          evaluations of the whole array — measured 7.9s vs 0.5s at
          sf0.1 for this exact stage;
-      2. duplicated grams found with count(*) OVER (PARTITION BY gram)
-         — ONE shuffle keyed by the gram hash (the same shingle-shuffle
-         shape as ngram_jaccard, which survives the 100x audit), not
-         groupBy + join-back which would shuffle the grams twice;
+      2. duplicated grams found with groupBy(g).count() (map-side
+         combine collapses a boilerplate gram to one row per task
+         BEFORE the shuffle), then positions join back against the
+         dup set split into two df tiers — the same hybrid-by-df
+         pattern as T4's n-gram index:
+           - hot tier (df > hot_df): broadcast LEFT SEMI — positions
+             never shuffle on a hot key. The hot set is bounded by
+             total_grams/hot_df keys (a counting argument), ~10^7
+             8-byte keys at the 100 TB design point — a sub-100MB
+             broadcast;
+           - warm tier (1 < df <= hot_df): broadcast LEFT ANTI against
+             the hot set (no hot key can enter the exchange), then a
+             shuffle LEFT SEMI whose per-key volume is <= hot_df rows
+             and whose left side gets the warm set's runtime Bloom
+             filter — df=1 positions (the bulk) drop pre-shuffle.
+         NOT count(*) OVER (PARTITION BY g): a window has no partial
+         aggregation and its partition cannot be split, so a
+         corpus-wide gram (license header, navbar — exactly the key
+         this operator hunts, df 10^6-10^9 at the design point)
+         funnels every occurrence into ONE task. NOT a plain un-tiered
+         join-back: when the dup set is small (the common case) AQE
+         converts the join to broadcast at runtime, but the position
+         side's g-exchange is already materialized and its hot
+         partition is read by ONE task — AQE's skew splitter only
+         rewrites join stages, never a plain skewed read (measured:
+         10M-position hot key -> a 10.7 s straggler vs ~0.45 s median,
+         bench.py --spans-hot). And NOT a fused salted left-outer
+         join either — measured 1.5-3x slower (left-preservation
+         defeats Bloom pruning and widens the exchange). The gram key
+         is xxhash64 (an 8-byte JVM hash, never leaves the operator)
+         so each pass is tokenize + slice + hash — no md5 and no
+         32-char strings on any exchange;
       3. hit positions merge into maximal spans per doc with the classic
          gaps-and-islands window (lag + running sum) — partitioned by
          doc_id, so the window never exceeds one document's positions.
 
-    The k-gram is keyed by md5 of the token run (not xxhash64) so the
-    DuckDB oracle computes the identical key; at 100 TB you'd swap in
-    xxhash64 for an 8-byte shuffle key (collision odds ~n^2/2^64).
+    The gram key is internal only (the output is doc_id/pos spans), so
+    the DuckDB oracle is free to key its own recomputation by md5 —
+    results agree as long as neither hash collides (odds ~n^2/2^64 for
+    the 64-bit key at test scale; a production corpus would pair
+    xxhash64 with a length guard or a 128-bit variant).
     Returns one row per maximal duplicated span:
     (doc_id, span_id, s, e, span_len) with token offsets inclusive.
     """
     k = int(k)
+    hot_df = int(hot_df)
     toks = F.expr(
         f"filter(split(lower(regexp_replace({text_col}, '[^a-z0-9]+', ' ')), ' '),"
         " x -> x <> '')")
@@ -1025,13 +1057,24 @@ def dup_spans_df(docs: DataFrame, k: int = 8,
         .select("doc_id", "t",
                 F.explode(F.expr(f"sequence(0, n_tokens - {k})")).alias("pos"))
         .select("doc_id", "pos",
-                F.expr(f"md5(concat_ws(' ', slice(t, pos + 1, {k})))").alias("g"))
+                F.xxhash64(F.expr(f"slice(t, pos + 1, {k})")).alias("g"))
     )
-    hits = (
-        g.withColumn("_df", F.count("*").over(W.partitionBy("g")))
-        .filter(F.col("_df") > 1)
-        .select("doc_id", "pos")
-    )
+    counts = g.groupBy("g").count()
+    hot = F.broadcast(counts.filter(F.col("count") > hot_df).select("g"))
+    warm = counts.filter(
+        (F.col("count") > 1) & (F.col("count") <= hot_df)).select("g")
+    # hot hits resolve MAP-SIDE (broadcast semi join — positions never
+    # shuffle on a hot key); the rest pass a broadcast ANTI (so no hot
+    # key can enter the exchange) into a shuffle SEMI join whose
+    # per-key volume is <= hot_df rows AND whose left side gets the
+    # runtime Bloom filter of the warm gram set pushed into its scan —
+    # df=1 positions (the bulk of a real corpus) drop before the
+    # shuffle. A fused salted left-outer variant was measured 1.5-3x
+    # slower: preserving the left side defeats Bloom pruning and
+    # widens the exchange (bench A/B, round 5).
+    hot_hits = g.join(hot, "g", "left_semi")
+    warm_hits = g.join(hot, "g", "left_anti").join(warm, "g", "left_semi")
+    hits = hot_hits.unionByName(warm_hits).select("doc_id", "pos")
     w = W.partitionBy("doc_id").orderBy("pos")
     # k-grams at positions p_prev < p overlap-or-touch iff p <= p_prev + k
     flagged = hits.withColumn("_prev", F.lag("pos").over(w)).withColumn(
@@ -1047,13 +1090,20 @@ def dup_spans_df(docs: DataFrame, k: int = 8,
     )
 
 
-def doc_dup_profile_df(docs: DataFrame, k: int = 8) -> DataFrame:
+def doc_dup_profile_df(docs: DataFrame, k: int = 8,
+                       hot_df: int = 1_000_000) -> DataFrame:
     """Per-document dedup profile — the T1 exact-copy facts and the T28
     duplicated-span facts in one doc-grain frame: (doc_id, n_tokens,
     n_copies, is_keeper, n_dup_spans, dup_tokens, max_span_len). Exact
-    copy-counting uses count/min OVER (PARTITION BY fingerprint) — one
-    shuffle, no groupBy + join-back; the md5 fingerprint is projected
-    BEFORE the window so raw text (KBs/doc) never rides the exchange,
+    copy-counting is groupBy(_fp).agg(count, min(doc_id)) + a TWO-TIER
+    join-back split by exact copy count (same pattern and rationale as
+    dup_spans_df's gram tiers): a 10^7-copy viral doc is an
+    unbounded-df key — a window over _fp funnels every copy into one
+    task, and a single join-back leaves a skewed g-exchange read when
+    AQE broadcasts the small stats side. Hot fingerprints (> hot_df
+    copies, bounded by corpus_docs/hot_df keys) broadcast; the rest
+    take a bounded shuffle join. The md5 fingerprint is projected
+    BEFORE any exchange so raw text (KBs/doc) never rides a shuffle,
     only (doc_id, fp, n_tokens). Span stats coalesce to 0 for clean
     docs so the output has no NULLs (driver value-hash discipline)."""
     pre = docs.select(
@@ -1063,12 +1113,23 @@ def doc_dup_profile_df(docs: DataFrame, k: int = 8) -> DataFrame:
             "filter(split(lower(regexp_replace(text, '[^a-z0-9]+', ' ')), ' '),"
             " x -> x <> '')")).alias("n_tokens"),
     )
-    wf = W.partitionBy("_fp")
-    per_doc = pre.select(
-        "doc_id",
-        F.count("*").over(wf).alias("n_copies"),
-        (F.col("doc_id") == F.min("doc_id").over(wf)).cast("int").alias("is_keeper"),
-        "n_tokens",
+    fp_stats = pre.groupBy("_fp").agg(
+        F.count("*").alias("n_copies"),
+        F.min("doc_id").alias("_keeper_id"),
+    )
+    hot_stats = F.broadcast(fp_stats.filter(F.col("n_copies") > hot_df))
+    warm_stats = fp_stats.filter(F.col("n_copies") <= hot_df)
+    _stats_cols = [
+        F.col("doc_id"),
+        F.col("n_copies"),
+        (F.col("doc_id") == F.col("_keeper_id")).cast("int").alias("is_keeper"),
+        F.col("n_tokens"),
+    ]
+    per_doc = (
+        pre.join(hot_stats, "_fp").select(*_stats_cols)
+        .unionByName(
+            pre.join(hot_stats.select("_fp"), "_fp", "left_anti")
+            .join(warm_stats, "_fp").select(*_stats_cols))
     )
     span_stats = (
         dup_spans_df(docs, k=k)
