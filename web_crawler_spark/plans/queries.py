@@ -959,7 +959,8 @@ GROUP BY doc_id HAVING count(*) >= 2
 
 def q_token_count_driver(spark, sf, ctx_len: int = 512):
     """Driver key `token_count`: token/fingerprint metrics plus the T23
-    decontamination columns plus the T24 SEQUENCE-PACKING per-doc stats,
+    decontamination columns plus the T24 SEQUENCE-PACKING per-doc stats
+    plus (round 5) the T31 SUBWORD-TOKENIZER per-doc piece totals,
     left-joined on doc_id (same 50-key-budget fold pattern as
     text_quality/T22). Benchmark docs themselves are flagged, not
     dropped, so the row count stays the full table.
@@ -973,11 +974,22 @@ def q_token_count_driver(spark, sf, ctx_len: int = 512):
     derives every one of these CLOSED-FORM from a window prefix sum +
     integer division — so a packing bug (lost token, shifted boundary,
     wrong segment split) flips the driver row red."""
-    from web_crawler_spark.plans.pipeline_ops import pack_sequences_df
+    from web_crawler_spark.plans.pipeline_ops import (
+        pack_sequences_df,
+        subword_tokenize_df,
+    )
 
     tc = q_token_count(spark, sf)
     shared = q_decontaminate(spark, sf, min_shared=1)
     d = _t(spark, sf, "documents").select("doc_id", "text")
+    # T31 fold (round 5): per-doc greedy-WordPiece subword totals from
+    # the REAL dictionary-encoded tokenizer. The DuckDB twin recomputes
+    # the greedy longest-match segmentation from scratch: a (word, pos)
+    # -> longest-matching-piece-length table (vocab join on substr) and
+    # a recursive CTE that walks piece starts — so a wrong greedy match
+    # anywhere in any distinct word flips the hash.
+    sw = subword_tokenize_df(d).select(
+        "doc_id", F.col("n_subwords").cast("long").alias("sw_subwords"))
     pk = (
         pack_sequences_df(d, ctx_len=ctx_len)
         .groupBy("doc_id")
@@ -993,6 +1005,7 @@ def q_token_count_driver(spark, sf, ctx_len: int = 512):
     return (
         tc.join(shared, "doc_id", "left")
         .join(pk, "doc_id", "left")
+        .join(sw, "doc_id", "left")
         .select(
             tc["*"],
             F.coalesce("n_shared_shingles", F.lit(0)).alias("n_shared_shingles"),
@@ -1003,11 +1016,54 @@ def q_token_count_driver(spark, sf, ctx_len: int = 512):
             F.coalesce("n_segments", neg).alias("n_segments"),
             F.coalesce("packed_tok", neg).alias("packed_tok"),
             F.coalesce("last_seg_len", neg).alias("last_seg_len"),
+            F.coalesce("sw_subwords", neg).alias("sw_subwords"),
         )
     )
 
+def _vocab_values() -> str:
+    # safe lazy import: pipeline_ops only imports queries inside
+    # functions, but keep the same one-direction discipline here
+    from web_crawler_spark.plans.pipeline_ops import SUBWORD_VOCAB
+
+    return ", ".join(f"('{p}')" for p in SUBWORD_VOCAB)
+
+
 SQL_TOKEN_COUNT_DRIVER = f"""
-WITH tc AS ({SQL_TOKEN_COUNT}),
+WITH RECURSIVE tc AS ({SQL_TOKEN_COUNT}),
+sw_occ AS (
+  SELECT doc_id, w, count(*) AS c
+  FROM (SELECT doc_id,
+               unnest(list_filter(string_split(
+                 lower(regexp_replace(text, '[^a-z0-9]+', ' ', 'g')), ' '),
+                 x -> x <> '')) AS w
+        FROM documents)
+  GROUP BY 1, 2
+),
+dw AS (SELECT DISTINCT w FROM sw_occ),
+vocab(piece) AS (VALUES {{VOCAB}}),
+-- longest vocab piece matching at each 0-based position of each
+-- distinct word; unmatched positions consume one '[unk]' char (l=1)
+mlpos AS (SELECT w, unnest(range(0, len(w))) AS p FROM dw),
+ml AS (
+  SELECT mlpos.w, mlpos.p, coalesce(max(len(v.piece)), 1) AS l
+  FROM mlpos LEFT JOIN vocab v
+    ON substr(mlpos.w, mlpos.p + 1, len(v.piece)) = v.piece
+  GROUP BY 1, 2
+),
+-- greedy walk: every reachable piece start, stepping by the longest
+-- match — count(*) per word = the WordPiece piece count
+st AS (
+  SELECT w, 0 AS p FROM dw WHERE len(w) > 0
+  UNION ALL
+  SELECT st.w, st.p + ml.l
+  FROM st JOIN ml ON ml.w = st.w AND ml.p = st.p
+  WHERE st.p + ml.l < len(st.w)
+),
+seg AS (SELECT w, count(*) AS n_pieces FROM st GROUP BY 1),
+sw AS (
+  SELECT o.doc_id, CAST(sum(o.c * seg.n_pieces) AS BIGINT) AS sw_subwords
+  FROM sw_occ o JOIN seg USING (w) GROUP BY 1
+),
 shared AS (
   WITH sh AS (
     SELECT doc_id, unnest(list_distinct([array_to_string(words[i:i+2], ' ')
@@ -1047,10 +1103,15 @@ SELECT tc.*, coalesce(shared.n_shared_shingles, 0) AS n_shared_shingles,
        coalesce(pk.last_bin, -1) AS last_bin,
        coalesce(pk.n_segments, -1) AS n_segments,
        coalesce(pk.packed_tok, -1) AS packed_tok,
-       coalesce(pk.last_seg_len, -1) AS last_seg_len
+       coalesce(pk.last_seg_len, -1) AS last_seg_len,
+       coalesce(sw.sw_subwords, -1) AS sw_subwords
 FROM tc LEFT JOIN shared ON tc.doc_id = shared.doc_id
         LEFT JOIN pk ON tc.doc_id = pk.doc_id
+        LEFT JOIN sw ON tc.doc_id = sw.doc_id
 """
+
+SQL_TOKEN_COUNT_DRIVER = SQL_TOKEN_COUNT_DRIVER.replace(
+    "{VOCAB}", _vocab_values())
 
 
 def q_text_quality(spark, sf):
@@ -1766,8 +1827,17 @@ def q_corpus_clean_driver(spark, sf):
     the two-phase windowless global sequence; the oracle is a plain
     row_number() over the same (phase, md5(doc_id), doc_id) order, so
     a wrong bucket offset or a non-monotone bucket key flips the hash
-    on ALL later positions."""
-    from web_crawler_spark.plans.pipeline_ops import curriculum_order_df
+    on ALL later positions.
+
+    Round 5 adds the T30 training-shard fold: the REAL shard planner
+    (sources.shards.shard_plan — the exact code export_training_shards
+    writes with) maps each position to a fixed-size shard, and every
+    doc row carries its shard's manifest columns (shard_rows,
+    shard_min_pos, shard_max_pos, shard_checksum — the bit_xor of a
+    60-bit md5(doc_id) prefix, the order-insensitive content checksum
+    any engine can recompute). The oracle rebuilds the shard map and
+    checksum independently in DuckDB, so a wrong row->shard mapping,
+    a short shard, or a single flipped checksum bit fails the hash."""
 
     base = _t(spark, sf, "documents").select("doc_id", "lang", "text")
     planted = spark.createDataFrame(
@@ -1789,10 +1859,21 @@ def q_corpus_clean_driver(spark, sf):
                .filter("rn = 1").drop("rn", "_fp", "stop_ratio"))
     phase = (F.when(F.col("n_words") < 40, 0)
              .when(F.col("n_words") < 70, 1).otherwise(2))
-    out = curriculum_order_df(deduped, phase)
-    return out.select("doc_id", "lang",
-                      F.col("n_words").cast("long").alias("n_words"),
-                      "phase", "curriculum_pos")
+    from web_crawler_spark.sources.shards import _CHECKSUM, shard_plan
+
+    out = shard_plan(deduped, shard_size=64, phase_col=phase)
+    manifest = out.groupBy("shard_id").agg(
+        F.count("*").alias("shard_rows"),
+        F.min("curriculum_pos").alias("shard_min_pos"),
+        F.max("curriculum_pos").alias("shard_max_pos"),
+        F.expr(_CHECKSUM).alias("shard_checksum"))
+    return (out.join(F.broadcast(manifest), "shard_id")
+            .select("doc_id", "lang",
+                    F.col("n_words").cast("long").alias("n_words"),
+                    "phase", "curriculum_pos",
+                    F.col("shard_id").cast("long").alias("shard_id"),
+                    "shard_rows", "shard_min_pos", "shard_max_pos",
+                    "shard_checksum"))
 
 
 SQL_CORPUS_CLEAN_DRIVER = f"""
@@ -1812,12 +1893,29 @@ WITH docs AS (
 ), deduped AS (
   SELECT * FROM filtered
   QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+), ordered AS (
+  SELECT doc_id, lang,
+         CAST(n_words AS BIGINT) AS n_words,
+         CAST({_PHASE_SQL} AS INT) AS phase,
+         CAST(row_number() OVER (
+              ORDER BY ({_PHASE_SQL}), md5(doc_id::VARCHAR), doc_id) AS BIGINT)
+           AS curriculum_pos
+  FROM deduped
+), sharded AS (
+  SELECT *, CAST((curriculum_pos - 1) // 64 AS BIGINT) AS shard_id
+  FROM ordered
+), manifest AS (
+  SELECT shard_id,
+         CAST(count(*) AS BIGINT) AS shard_rows,
+         CAST(min(curriculum_pos) AS BIGINT) AS shard_min_pos,
+         CAST(max(curriculum_pos) AS BIGINT) AS shard_max_pos,
+         CAST(bit_xor(CAST(concat('0x',
+              substr(md5(doc_id::VARCHAR), 1, 15)) AS BIGINT)) AS BIGINT)
+           AS shard_checksum
+  FROM sharded GROUP BY 1
 )
-SELECT doc_id, lang,
-       CAST(n_words AS BIGINT) AS n_words,
-       CAST({_PHASE_SQL} AS INT) AS phase,
-       CAST(row_number() OVER (
-            ORDER BY ({_PHASE_SQL}), md5(doc_id::VARCHAR), doc_id) AS BIGINT)
-         AS curriculum_pos
-FROM deduped
+SELECT s.doc_id, s.lang, s.n_words, s.phase, s.curriculum_pos,
+       s.shard_id, m.shard_rows, m.shard_min_pos, m.shard_max_pos,
+       m.shard_checksum
+FROM sharded s JOIN manifest m USING (shard_id)
 """
