@@ -151,28 +151,16 @@ def _cosine_expr(a_col: str, b_col: str):
     return dot / (norm(a_col) * norm(b_col))
 
 
-def q_ann_lsh(spark, sf, n_tables: int = 24, bits: int = 6, k: int = 3,
-              n_check: int = 16, recall_floor: float = 0.5):
-    """Approximate nearest neighbors via MULTI-TABLE random-hyperplane
-    LSH: ``n_tables`` independent ``bits``-bit sign codes per vector;
-    candidates are the union of same-code vectors over all tables
-    (equi-join on (table, code) — the shuffle carries 8-byte keys, never
-    the pair matrix); exact cosine re-ranks the union to top-k. The
-    (n_tables, bits) knobs trade candidate volume for recall: this
-    testdata is near-RANDOM (true top-3 cos ≈ 0.34 — the worst case for
-    LSH), so codes are short and tables many (24×6 → measured recall@3
-    ≈ 0.68 scanning ~1/3 of the corpus); a real corpus with near-dup
-    structure (cos ≥ 0.9) wants longer codes (e.g. 16×16) where the
-    same plan scans a vanishing fraction.
-
-    SELF-CHECKING (VERDICT r3 #4): the plan brute-forces the true top-k
-    for the deterministic query subset vec_id < ``n_check`` and gates
-    the whole output on measured recall ≥ ``recall_floor`` via a 1-row
-    cross join — if an LSH regression drops recall, the driver row goes
-    to 0 rows and flips red. The constant ``recall_check`` column
-    reports the measured recall. The brute-force gate is O(n_check × n)
-    — bounded, and only part of the driver/test variant's plan."""
-    e = _emb(spark, sf).select("vec_id", "embedding")
+def ann_lsh_candidates(e: DataFrame, n_tables: int = 24,
+                       bits: int = 6) -> DataFrame:
+    """Candidate pairs of the multi-table hyperplane LSH: each vector
+    gets ``n_tables`` independent ``bits``-bit sign codes (one Arrow
+    batch per partition, planes seeded per-dim so every batch agrees);
+    candidates are the distinct union over tables of same-(table, code)
+    pairs — an 8-byte-keyed equi-join, never the O(n^2) pair matrix.
+    Extracted from q_ann_lsh so tests can measure the candidate/scan
+    fraction directly on an injected corpus (the clustered-corpus
+    claim: longer codes -> vanishing scan fraction)."""
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def table_codes(embs: pd.Series) -> pd.Series:
@@ -193,18 +181,60 @@ def q_ann_lsh(spark, sf, n_tables: int = 24, bits: int = 6, k: int = 3,
           .persist())  # code UDF runs once, not once per join side
     a = ex.select(F.col("vec_id").alias("q_id"), "tbl", "code")
     b = ex.select(F.col("vec_id").alias("c_id"), "tbl", "code")
-    cand = (a.join(b, ["tbl", "code"])
+    return (a.join(b, ["tbl", "code"])
             .filter(F.col("q_id") != F.col("c_id"))
             .select("q_id", "c_id").distinct())
+
+
+def ann_lsh_topk(e: DataFrame, n_tables: int = 24, bits: int = 6,
+                 k: int = 3, _cand: DataFrame | None = None) -> DataFrame:
+    """Exact-cosine re-rank of the LSH candidate union to top-k per
+    query: (q_id, rk, c_id, cos). Payload embeddings join back onto the
+    id-only candidate pairs (broadcast-or-shuffle by size, AQE's call);
+    WindowGroupLimit bounds the per-query sort at k."""
+    cand = _cand if _cand is not None else ann_lsh_candidates(
+        e, n_tables=n_tables, bits=bits)
     eq = e.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
     ec = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"))
     w = W.partitionBy("q_id").orderBy(F.desc("cos"), "c_id")
-    res = (
+    return (
         cand.join(eq, "q_id").join(ec, "c_id")
         .withColumn("cos", F.round(_cosine_expr("q_emb", "c_emb"), 6))
         .withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
         .select("q_id", "rk", "c_id", "cos")
     )
+
+
+def q_ann_lsh(spark, sf, n_tables: int = 24, bits: int = 6, k: int = 3,
+              n_check: int = 16, recall_floor: float = 0.5):
+    """Approximate nearest neighbors via MULTI-TABLE random-hyperplane
+    LSH: ``n_tables`` independent ``bits``-bit sign codes per vector;
+    candidates are the union of same-code vectors over all tables
+    (equi-join on (table, code) — the shuffle carries 8-byte keys, never
+    the pair matrix); exact cosine re-ranks the union to top-k. The
+    (n_tables, bits) knobs trade candidate volume for recall: this
+    testdata is near-RANDOM (true top-3 cos ≈ 0.34 — the worst case for
+    LSH), so codes are short and tables many (24×6 → measured recall@3
+    ≈ 0.68 scanning ~1/3 of the corpus); a real corpus with near-dup
+    structure (cos ≥ 0.9) wants longer codes (e.g. 16×16) where the
+    same plan scans a vanishing fraction — MEASURED, not asserted:
+    tests/test_embedding_lsh.py plants a 50-cluster corpus (in-cluster
+    cos ≈ 0.96) and at 16×16 the candidate set is < 5% of all pairs
+    with recall@3 ≥ 0.9 vs brute force.
+
+    SELF-CHECKING (VERDICT r3 #4): the plan brute-forces the true top-k
+    for the deterministic query subset vec_id < ``n_check`` and gates
+    the whole output on measured recall ≥ ``recall_floor`` via a 1-row
+    cross join — if an LSH regression drops recall, the driver row goes
+    to 0 rows and flips red. The constant ``recall_check`` column
+    reports the measured recall. The brute-force gate is O(n_check × n)
+    — bounded, and only part of the driver/test variant's plan."""
+    e = _emb(spark, sf).select("vec_id", "embedding")
+    cand = ann_lsh_candidates(e, n_tables=n_tables, bits=bits)
+    eq = e.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
+    ec = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("c_emb"))
+    w = W.partitionBy("q_id").orderBy(F.desc("cos"), "c_id")
+    res = ann_lsh_topk(e, n_tables=n_tables, bits=bits, k=k, _cand=cand)
     # ---- recall gate: brute-force truth for the fixed query subset
     qsub = eq.filter(F.col("q_id") < n_check)
     truth = (
