@@ -108,6 +108,24 @@ HEADLINE = [
     "image_pipeline",
 ]
 
+# Work-version per headline key: bumped whenever a key's DEFINITION of
+# work changes, so cross-round bench deltas separate "does more work"
+# from "got slower on the same work". v1 = the round-1..3 definition.
+# History:
+#   dedup_exact    v2 (r4): full T28 span-dedup doc profile over
+#                  documents + planted rows (was: trivial md5 groupBy).
+#   dedup_simhash  v2 (r4): adds the guaranteed-recall self-check gate.
+#   ann_lsh        v2 (r4): top-3 for ALL vectors via 24-table
+#                  hyperplane LSH + brute-force recall gate (was a
+#                  narrower single-table probe).
+#   corpus_clean   (not headlined) v2 (r4): + curriculum position,
+#                  v3 (r5): + shard manifest columns.
+WORK_VERSIONS = {
+    "dedup_exact": 2,
+    "dedup_simhash": 2,
+    "ann_lsh": 2,
+}
+
 
 def run_headline() -> None:
     import __spark_entry__ as entrymod
@@ -132,6 +150,8 @@ def run_headline() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "work_versions": {k: WORK_VERSIONS.get(k, 1)
+                          for k in timings if k != "crawl_loop"},
         "sf": _sf_of(SF_DIR),
         "cores": CPUS,
         "crawl": crawl,
@@ -286,22 +306,44 @@ def run_frontier_stress(rows: int, hosts: int, k: int, cores: int) -> None:
                  F.lit(".example")).alias("host"),
         F.lit(1).alias("next_round"),
     )
-    # next_seq sizes the two-phase seq's range buckets (plans/seq.py):
-    # 8*rows keeps the packed offset array ~2k entries
-    batch, sel = schedule_batch(frontier, host_next, 0, cfg,
-                                next_seq=8 * rows, next_fetch_seq=0)
-    t0 = time.perf_counter()
-    _materialize(batch)
-    wall = round(time.perf_counter() - t0, 3)
-    n_sel = batch.count()  # cheap: recomputes from the persisted `sel`
-    sel.unpersist()
+    # authority mode (cfg.priority_mode="authority" in the engine): a
+    # host-level quantized-rank frame, the realistic size (one row per
+    # host — the frame a rank refresh would broadcast at 10^10-URL
+    # scale). Ranks are synthetic but heavy-tailed like PageRank.
+    host_rank = spark.range(0, hosts).select(
+        F.concat(F.lit("h"), F.col("id").cast("string"),
+                 F.lit(".example")).alias("host"),
+        (F.pmod(F.xxhash64("id", F.lit(17)), F.lit(1_000_000)) + 1)
+        .alias("rank_q"),
+    )
+
+    def one(mode: str) -> dict:
+        # next_seq sizes the two-phase seq's range buckets (plans/seq.py):
+        # 8*rows keeps the packed offset array ~2k entries
+        batch, sel = schedule_batch(
+            frontier, host_next, 0, cfg, next_seq=8 * rows,
+            next_fetch_seq=0,
+            host_rank=host_rank if mode == "authority" else None)
+        t0 = time.perf_counter()
+        _materialize(batch)
+        wall = round(time.perf_counter() - t0, 3)
+        n_sel = batch.count()  # cheap: recomputes from the persisted `sel`
+        sel.unpersist()
+        return {"selected": n_sel, "elapsed_sec": wall,
+                "frontier_urls_per_sec": round(rows / wall, 1),
+                "selected_per_sec": round(n_sel / wall, 1)}
+
+    res = {"bfs": one("bfs"), "authority": one("authority")}
+    ratio = round(res["authority"]["elapsed_sec"]
+                  / res["bfs"]["elapsed_sec"], 3)
     print(json.dumps({
         "metric": "frontier URLs/sec through the engine's scheduling "
-                  "superstep (synthetic heavy-tailed frontier)",
+                  "superstep (synthetic heavy-tailed frontier), BFS and "
+                  "authority priority modes interleaved",
         "rows": rows, "hosts": hosts, "per_host_k": k, "cores": cores,
-        "selected": n_sel, "elapsed_sec": wall,
-        "frontier_urls_per_sec": round(rows / wall, 1),
-        "selected_per_sec": round(n_sel / wall, 1),
+        **res["bfs"],
+        "modes": res,
+        "authority_over_bfs_wall": ratio,
     }))
 
 

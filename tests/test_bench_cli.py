@@ -35,6 +35,11 @@ def test_frontier_stress_small_n():
     # so selection is bounded by k * unclocked hosts
     assert j["selected"] <= 4 * 500
     assert j["frontier_urls_per_sec"] > 0
+    # both priority modes run interleaved; authority must schedule the
+    # same politeness-bounded volume and report its own wall clock
+    assert j["modes"]["authority"]["selected"] > 0
+    assert j["modes"]["authority"]["selected"] <= 4 * 500
+    assert j["authority_over_bfs_wall"] > 0
 
 
 @pytest.mark.stress_lite

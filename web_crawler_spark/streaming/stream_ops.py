@@ -20,6 +20,7 @@ import os
 from collections.abc import Iterator
 
 import pandas as pd
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -294,30 +295,38 @@ def stream_export_shards(
     Exactly-once discipline (same as the engine's commit protocol):
     each micro-batch OVERWRITES its own ``data/batch=<id>`` directory
     (a replayed batch rewrites identical bytes), reads its start
-    position from the newest state file with a smaller batch id, and
-    commits its own ``_state/batch_<id>.json`` only after the data
-    write — so a crash between the two replays the batch into the same
-    positions. Returns the full shard table read back."""
-    import json
+    position from the committed state row with the largest smaller
+    batch id, and commits its own ``_state/batch=<id>`` row only after
+    the data write — so a crash between the two replays the batch into
+    the same positions.
 
+    The state ledger is itself a tiny batch-partitioned parquet table
+    written and read THROUGH Spark, not driver-local files: on a real
+    cluster it lands on the same shared filesystem/object store as the
+    data, so the sink's bookkeeping survives a driver swap. Partition
+    pruning on ``batch < batch_id`` means a half-written state dir from
+    this batch's own crashed attempt is never even listed by the
+    read, and the overwrite then repairs it. Returns the full shard
+    table read back."""
     from web_crawler_spark.sources.shards import shard_plan
 
     schema = spark.read.parquet(docs_dir).schema
     dest = os.path.join(out_dir, "data")
     state_dir = os.path.join(out_dir, "_state")
-    os.makedirs(state_dir, exist_ok=True)
+
+    def _committed_end_pos(batch_id: int) -> int:
+        try:
+            st = (spark.read.schema("end_pos long").option(
+                      "basePath", state_dir).parquet(state_dir)
+                  .where(F.col("batch") < batch_id)
+                  .orderBy(F.col("batch").desc()).limit(1))
+            row = st.collect()
+            return int(row[0]["end_pos"]) if row else 0
+        except AnalysisException:  # no state yet (first ever batch)
+            return 0
 
     def one_batch(batch_df: DataFrame, batch_id: int) -> None:
-        committed = []
-        for f in os.listdir(state_dir):
-            if f.startswith("batch_") and f.endswith(".json"):
-                b = int(f[len("batch_"):-len(".json")])
-                if b < batch_id:
-                    committed.append(b)
-        start = 0
-        if committed:
-            with open(os.path.join(state_dir, f"batch_{max(committed)}.json")) as fh:
-                start = json.load(fh)["end_pos"]
+        start = _committed_end_pos(batch_id)
         planned = shard_plan(batch_df, shard_size, id_col=id_col,
                              start=start + 1)
         (
@@ -327,10 +336,11 @@ def stream_export_shards(
             .parquet(os.path.join(dest, f"batch={batch_id}"))
         )
         n = batch_df.count()
-        tmp = os.path.join(state_dir, f"batch_{batch_id}.json.tmp")
-        with open(tmp, "w") as fh:
-            json.dump({"end_pos": start + n}, fh)
-        os.replace(tmp, os.path.join(state_dir, f"batch_{batch_id}.json"))
+        (
+            spark.createDataFrame([(start + n,)], "end_pos long")
+            .coalesce(1).write.mode("overwrite")
+            .parquet(os.path.join(state_dir, f"batch={batch_id}"))
+        )
 
     ckpt = os.path.join(out_dir, "_ckpt")
     _run_available_now(
