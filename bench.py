@@ -822,6 +822,26 @@ def run_scaling(rows: int, n_lo: int = 8, n_hi: int = 32,
         f"| {a['raw_eff']:.3f} | {a['sw_eff']:.3f} |"
         for i, a in enumerate(runs))
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    # Persistent ledger: EVERY protocol run ever executed gets one row
+    # here, appended before BASELINE.md is regenerated — no window's
+    # numbers can be dropped by a later rewrite.
+    hist_path = os.path.join(REPO, "BENCH", "SCALING_HISTORY.md")
+    if not os.path.exists(hist_path):
+        with open(hist_path, "w") as f:
+            f.write(
+                "# Scaling protocol ledger — one row per full run, "
+                "append-only\n\n"
+                "| when (UTC) | config | rows | attempts "
+                "(hw ratio → raw / sw) | headlined raw | headlined sw |\n"
+                "|---|---|---|---|---|---|\n")
+    with open(hist_path, "a") as f:
+        att = " · ".join(f"{a['hw_ratio']:.3f} → {a['raw_eff']:.3f}/"
+                         f"{a['sw_eff']:.3f}" for a in runs)
+        f.write(f"| {time.strftime('%Y-%m-%d %H:%M', time.gmtime())} "
+                f"| {n_lo}->{n_hi} | {rows} | {att} "
+                f"| {raw_eff:.3f} | {sw_eff:.3f} |\n")
+    with open(hist_path) as f:
+        history_md = f.read()
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(f"""# BENCH — measured throughput + two-parallelism scaling evidence
 
@@ -858,6 +878,14 @@ engine's own scaling is reported both raw and normalized by this cap.
   (target >= 0.8 — measures the ENGINE's overhead growth with
   parallelism, isolated from the sandbox's cycle throttling)
 
+A software number above 1.0 is not super-efficiency — it means the
+spin control (run minutes apart from the engine jobs) under-measured
+the cycles the engine's own window was granted; granted cycles swing
+2-5x between micro-windows on this sandbox. In those windows the RAW
+number is the trustworthy one; the normalized number only adds
+information when the control and the engine saw comparable windows
+(raw <= ceiling).
+
 ## All attempts this measurement
 
 The full protocol ran {len(runs)} time(s); the headlined attempt is the
@@ -872,10 +900,14 @@ across windows; raw efficiency per attempt is tabled for transparency.
 |---|---|---|---|
 {attempts_md}
 
-Command: `python bench.py --scaling --rows {rows}`.
+Command: `python bench.py --scaling --rows {rows} --lo {n_lo} --hi {n_hi}`.
 Crawl-loop throughput (full BSP loop to frontier exhaustion) is
 reported per-round in `BENCH_r*.json` under `.crawl` by
 `python bench.py`.
+
+## Every protocol run (append-only ledger, BENCH/SCALING_HISTORY.md)
+
+{history_md}
 """)
     print(json.dumps({
         f"local{n_lo}": results[n_lo], f"local{n_hi}": results[n_hi],
@@ -894,7 +926,8 @@ if __name__ == "__main__":
     if "--scale-job" in args:
         run_scale_job(_flag("--cores", CPUS), _flag("--rows", 1200000))
     elif "--scaling" in args:
-        run_scaling(_flag("--rows", 1200000), attempts=_flag("--attempts", 2))
+        run_scaling(_flag("--rows", 1200000), attempts=_flag("--attempts", 2),
+                    n_lo=_flag("--lo", 8), n_hi=_flag("--hi", 32))
     elif "--soak" in args:
         run_soak()
     elif "--frontier" in args:
