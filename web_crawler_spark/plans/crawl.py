@@ -155,27 +155,36 @@ def schedule_batch(frontier, host_next, r: int, cfg: CrawlConfig, *,
     is constant inside a host, so only the interleave moves. The frame
     is host-level (≪ frontier) and broadcasts; with host_rank=None this
     function is bit-for-bit the BFS path."""
+    # plan-node economy: the crawl builds this graph EVERY round, so each
+    # DataFrame transform below costs a driver-side analysis pass per
+    # superstep (py4j round trips + Catalyst re-analysis). Filters are
+    # fused and derived columns ride the narrowest possible number of
+    # select/selectExpr nodes — same logical plan, fewer API nodes.
     elig = (
-        frontier.filter(F.col("ready_round") <= r)
+        frontier.where(f"ready_round <= {int(r)}")
         .join(host_next, "host", "left")
-        .filter(F.coalesce("next_round", F.lit(0)) <= r)
+        .where(f"coalesce(next_round, 0) <= {int(r)}")
         .drop("next_round")
     )
     if host_rank is not None:
         elig = (
             elig.join(F.broadcast(host_rank), "host", "left")
-            .withColumn("_nrq", -F.coalesce("rank_q", F.lit(0)).cast("long"))
-            .drop("rank_q")
+            .selectExpr("* EXCEPT (rank_q)",
+                        "-cast(coalesce(rank_q, 0) AS long) AS _nrq")
         )
-    wk = Window.partitionBy("host").orderBy("priority", "discovered_seq")
-    sel = (elig.withColumn("rn", F.row_number().over(wk))
-           .filter(F.col("rn") <= cfg.per_host_k).drop("rn"))
+    db = max(1, int(next_seq) // 4096)
+    sel = (
+        elig.selectExpr(
+            "*",
+            "row_number() OVER (PARTITION BY host "
+            "ORDER BY priority, discovered_seq) AS rn",
+            f"cast(discovered_seq / {db} AS long) AS _db")
+        .where(f"rn <= {int(cfg.per_host_k)}").drop("rn")
+    )
     order = (["_nrq"] if host_rank is not None else []) + ["priority", "discovered_seq"]
     if budget_left is not None:
         sel = sel.orderBy(*order).limit(int(budget_left))
-    db = max(1, int(next_seq) // 4096)
-    sel = sel.withColumn(
-        "_db", (F.col("discovered_seq") / F.lit(db)).cast("long")).persist()
+    sel = sel.persist()
     keys = (["_nrq"] if host_rank is not None else []) + ["priority", "_db"]
     batch = with_global_seq(
         sel, keys, ["discovered_seq"],
@@ -454,25 +463,27 @@ class CrawlEngine:
         fetched = (
             batch.join(url_map.select("image_id", "canon_url"), "canon_url", "inner")
             .join(self.corpus, "image_id", "inner")
-            .withColumn("content_sha", F.sha2("bytes", 256))
-            .drop("bytes")  # bytes re-joined only for candidate PAIRS (scale: §4.4)
+            # bytes re-joined only for candidate PAIRS (scale: §4.4)
+            .selectExpr("* EXCEPT (bytes)", "sha2(bytes, 256) AS content_sha")
             .observe(fetch_obs, F.count(F.lit(1)).alias("n"))
             .persist()
         )
 
         # -- exact dedup: first-writer-wins per content hash, global order
         prior_sha = cat.read("survivors").select("content_sha").distinct()
-        wsha = Window.partitionBy("content_sha").orderBy("fetch_seq")
         fx = (
-            fetched.withColumn("sha_rn", F.row_number().over(wsha))
-            .join(prior_sha.withColumn("in_prior", F.lit(True)), "content_sha", "left")
-            .withColumn("is_exact_dup", F.col("in_prior").isNotNull() | (F.col("sha_rn") > 1))
-            .drop("in_prior", "sha_rn")
+            fetched.selectExpr(
+                "*", "row_number() OVER (PARTITION BY content_sha "
+                     "ORDER BY fetch_seq) AS sha_rn")
+            .join(prior_sha.selectExpr("content_sha", "true AS in_prior"),
+                  "content_sha", "left")
+            .selectExpr("* EXCEPT (in_prior, sha_rn)",
+                        "(in_prior IS NOT NULL OR sha_rn > 1) AS is_exact_dup")
         )
         batch_surv = (
-            fx.filter(~F.col("is_exact_dup"))
-            .withColumn("bands", caption_bands_udf("caption"))
-            .select(*SURVIVOR_COLS)
+            fx.where("NOT is_exact_dup")
+            .select(*[caption_bands_udf("caption").alias("bands")
+                      if c == "bands" else c for c in SURVIVOR_COLS])
             .persist()
         )
         prior_surv = cat.read("survivors")
@@ -497,76 +508,73 @@ class CrawlEngine:
         pidx = bands_idx.filter(F.col("kind") == "p").drop("kind").unionByName(batch_pb)
         cidx = bands_idx.filter(F.col("kind") == "c").drop("kind").unionByName(batch_cb)
 
-        def attrs(side):
-            return all_surv.select(
-                F.col("fetch_seq").alias(f"{side}_seq"),
-                F.col("image_id").alias(f"{side}_id"),
-                F.col("w").alias(f"{side}_w"), F.col("h").alias(f"{side}_h"),
-                F.col("phash").alias(f"{side}_phash"),
-                F.col("caption").alias(f"{side}_caption"),
-            )
+        _ATTR_SRC = {"seq": "fetch_seq", "id": "image_id", "w": "w",
+                     "h": "h", "phash": "phash", "caption": "caption"}
+
+        def attrs(side, cols=("seq", "id", "w", "h", "phash", "caption")):
+            return all_surv.selectExpr(
+                *[f"{_ATTR_SRC[c]} AS {side}_{c}" for c in cols])
 
         # image near-dup: pHash 4×16-bit bands → index join → verify
         img_cand = (
-            batch_pb.select(F.col("fetch_seq").alias("x_seq"), "band_idx", "band_val")
-            .join(pidx.select(F.col("fetch_seq").alias("y_seq"), "band_idx", "band_val"),
+            batch_pb.selectExpr("fetch_seq AS x_seq", "band_idx", "band_val")
+            .join(pidx.selectExpr("fetch_seq AS y_seq", "band_idx", "band_val"),
                   ["band_idx", "band_val"])
-            .filter(F.col("y_seq") < F.col("x_seq"))
+            .where("y_seq < x_seq")
             .select("x_seq", "y_seq").distinct()
         )
         img_pairs = (
             img_cand.join(attrs("x"), "x_seq").join(attrs("y"), "y_seq")
-            .filter((F.col("x_w") == F.col("y_w")) & (F.col("x_h") == F.col("y_h")))
-            .filter(F.col("x_caption") == F.col("y_caption"))
-            .filter(F.bit_count(F.col("x_phash").bitwiseXOR(F.col("y_phash"))) <= cfg.phash_max_hamming)
+            .where(f"x_w = y_w AND x_h = y_h AND x_caption = y_caption "
+                   f"AND bit_count(x_phash ^ y_phash) <= "
+                   f"{int(cfg.phash_max_hamming)}")
             .select("x_seq", "x_id", "y_seq", "y_id")
         )
         cor = self.corpus.select("image_id", "bytes", "w", "h", "fmt")
         pairs_b = (
             img_pairs
-            .join(cor.select(F.col("image_id").alias("x_id"), F.col("bytes").alias("a_bytes"),
-                             F.col("w").alias("a_w"), F.col("h").alias("a_h"),
-                             F.col("fmt").alias("a_fmt")), "x_id")
-            .join(cor.select(F.col("image_id").alias("y_id"), F.col("bytes").alias("b_bytes"),
-                             F.col("w").alias("b_w"), F.col("h").alias("b_h"),
-                             F.col("fmt").alias("b_fmt")), "y_id")
+            .join(cor.selectExpr("image_id AS x_id", "bytes AS a_bytes",
+                                 "w AS a_w", "h AS a_h", "fmt AS a_fmt"), "x_id")
+            .join(cor.selectExpr("image_id AS y_id", "bytes AS b_bytes",
+                                 "w AS b_w", "h AS b_h", "fmt AS b_fmt"), "y_id")
         )
         img_dups = (
             pair_psnr_cols(pairs_b)
-            .filter(F.col("pair_psnr") >= cfg.psnr_floor)
-            .select(F.col("x_seq").alias("fetch_seq")).distinct()
+            .where(f"pair_psnr >= {float(cfg.psnr_floor)!r}")
+            .selectExpr("x_seq AS fetch_seq").distinct()
         )
 
         # caption near-dup: MinHash bands → index join → exact Jaccard
         cap_cand = (
-            batch_cb.select(F.col("fetch_seq").alias("x_seq"), "band_idx", "band_val")
-            .join(cidx.select(F.col("fetch_seq").alias("y_seq"), "band_idx", "band_val"),
+            batch_cb.selectExpr("fetch_seq AS x_seq", "band_idx", "band_val")
+            .join(cidx.selectExpr("fetch_seq AS y_seq", "band_idx", "band_val"),
                   ["band_idx", "band_val"])
-            .filter(F.col("y_seq") < F.col("x_seq"))
+            .where("y_seq < x_seq")
             .select("x_seq", "y_seq").distinct()
         )
         cap_pairs = (
             cap_cand
-            .join(attrs("x").select("x_seq", "x_caption"), "x_seq")
-            .join(attrs("y").select("y_seq", "y_caption"), "y_seq")
+            .join(attrs("x", ("seq", "caption")), "x_seq")
+            .join(attrs("y", ("seq", "caption")), "y_seq")
         )
         cap_dups = (
             cap_pairs.withColumn("jac", jaccard3_udf("x_caption", "y_caption"))
-            .filter(F.col("jac") >= cfg.jaccard_theta)
-            .select(F.col("x_seq").alias("fetch_seq")).distinct()
+            .where(f"jac >= {float(cfg.jaccard_theta)!r}")
+            .selectExpr("x_seq AS fetch_seq").distinct()
         )
 
         # -- statuses (priority: dup_exact > neardup_image > neardup_caption)
         statused = (
-            fx.join(img_dups.withColumn("is_img_dup", F.lit(True)), "fetch_seq", "left")
-            .join(cap_dups.withColumn("is_cap_dup", F.lit(True)), "fetch_seq", "left")
-            .withColumn(
-                "status",
-                F.when(F.col("is_exact_dup"), "dup_exact")
-                .when(F.col("is_img_dup").isNotNull(), "neardup_image")
-                .when(F.col("is_cap_dup").isNotNull(), "neardup_caption")
-                .otherwise("kept"),
-            )
+            fx.join(img_dups.selectExpr("fetch_seq", "true AS is_img_dup"),
+                    "fetch_seq", "left")
+            .join(cap_dups.selectExpr("fetch_seq", "true AS is_cap_dup"),
+                  "fetch_seq", "left")
+            .selectExpr(
+                "*",
+                "CASE WHEN is_exact_dup THEN 'dup_exact' "
+                "WHEN is_img_dup IS NOT NULL THEN 'neardup_image' "
+                "WHEN is_cap_dup IS NOT NULL THEN 'neardup_caption' "
+                "ELSE 'kept' END AS status")
             .persist()
         )
         # no explicit materialization: the new.agg action below scans
@@ -584,8 +592,10 @@ class CrawlEngine:
         fetched_hosts = statused.select("host").distinct()
         hn_new = (
             fetched_hosts.join(F.broadcast(self.robots.select("host", "crawl_delay")), "host", "left")
-            .withColumn("delay", F.coalesce("crawl_delay", F.lit(cfg.default_delay)))
-            .select("host", (F.lit(r + 1) + F.ceil("delay")).cast("int").alias("next_round"))
+            .selectExpr(
+                "host",
+                f"cast({r + 1} + ceil(coalesce(crawl_delay, "
+                f"{cfg.default_delay!r})) AS int) AS next_round")
         )
         host_next2 = (
             host_next.unionByName(hn_new).groupBy("host")
@@ -604,8 +614,9 @@ class CrawlEngine:
             F.xxhash64("canon_url").alias("url_hash"),
         ).observe(disc_obs, F.count(F.lit(1)).alias("n")).persist()
 
-        wdisc = Window.partitionBy("url_hash", "canon_url").orderBy("fetch_seq", "link_pos")
-        first = disc.withColumn("rn", F.row_number().over(wdisc)).filter("rn = 1").drop("rn")
+        first = disc.selectExpr(
+            "*", "row_number() OVER (PARTITION BY url_hash, canon_url "
+                 "ORDER BY fetch_seq, link_pos) AS rn").where("rn = 1").drop("rn")
         seen_tbl = cat.read("seen").select("url_hash", "canon_url")
         new = filter_new_urls(
             first, seen_tbl,

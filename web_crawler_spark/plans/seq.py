@@ -112,11 +112,10 @@ def with_global_seq(
     return (
         df.withColumn("_brn", F.row_number().over(w_in))
         .join(F.broadcast(offs), bucket_cols)
-        .withColumn(
-            out_col,
-            (F.col("_brn") - 1 + F.col("_boff") + F.lit(start)).cast("long"),
+        .selectExpr(
+            "* EXCEPT (_brn, _boff)",
+            f"cast(_brn - 1 + _boff + {int(start)} AS long) AS {out_col}",
         )
-        .drop("_brn", "_boff")
     )
 
 
