@@ -203,9 +203,11 @@ def crawl_throughput(spark, n: int = 5000, n_hosts: int = 60,
     # between runs — BENCH/BASELINE.md spin control); a single-shot
     # timing is a lottery. If the first run looks throttled, run once
     # more and report the better window (results are deterministic —
-    # both runs produce the identical crawl). Skip the retry when the
-    # first run is pathologically slow: the throttle phase is then
-    # minutes long and a second run would only burn the harness budget.
+    # both runs produce the identical crawl). The retry has no upper
+    # cutoff: a pathologically slow first run (r5 saw 263s against a
+    # 126s quiet-window twin, interleaved A/B) is MORE likely to be a
+    # throttle burst, not less — the old `< 2.5 * retry_over` ceiling
+    # skipped the retry exactly when it mattered most.
     def one_run_caught(tag: str) -> dict:
         # a crashed attempt must stay diagnosable from the BENCH artifact
         # (type + first line), not evaporate into a truncated stderr tail
@@ -218,7 +220,7 @@ def crawl_throughput(spark, n: int = 5000, n_hosts: int = 60,
                     "error": f"{type(ex).__name__}: {first}"}
 
     best = one_run_caught("a")
-    if "error" in best or retry_over < best["elapsed_sec"] < 2.5 * retry_over:
+    if "error" in best or best["elapsed_sec"] > retry_over:
         second = one_run_caught("b")
         best["retried"] = True
         second["retried"] = True
