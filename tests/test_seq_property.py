@@ -79,3 +79,38 @@ def test_apportionment_exact_and_proportional(weights, total):
     assert sum(quota.values()) == total
     for s, f in fracs.items():
         assert math.floor(f) <= quota[s] <= math.ceil(f)
+
+
+@given(
+    keys=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=400),
+                  st.integers(min_value=0, max_value=5)),
+        min_size=1, max_size=60, unique=True),
+    width_a=st.integers(min_value=1, max_value=7),
+    width_b=st.integers(min_value=8, max_value=200),
+    start=st.integers(min_value=0, max_value=1000),
+)
+@settings(**SETTINGS)
+def test_global_seq_invariant_to_bucket_width(spark, keys, width_a,
+                                              width_b, start):
+    """The crawl's frontier overlap (round 5) rests on this: the sequence
+    with_global_seq assigns depends only on the total order
+    (*bucket_cols, *order_cols), NOT on the bucket granularity — any
+    fixed width over the leading key is a monotone coarsening of the
+    same order. Two arbitrary widths must agree with each other and
+    with a sorted-enumerate oracle."""
+    from web_crawler_spark.plans.seq import with_global_seq
+
+    df = spark.createDataFrame(
+        [(k, s) for k, s in keys], "fetch_seq long, link_pos long")
+
+    def run(width):
+        out = with_global_seq(
+            df.withColumn("_fb", (F.col("fetch_seq") / F.lit(width)).cast("long")),
+            ["_fb"], ["fetch_seq", "link_pos"], "seq", start=start)
+        return {(r.fetch_seq, r.link_pos): r.seq for r in out.collect()}
+
+    got_a, got_b = run(width_a), run(width_b)
+    want = {k: start + i for i, k in enumerate(sorted(keys))}
+    assert got_a == want
+    assert got_b == want
