@@ -137,9 +137,18 @@ def run_headline() -> None:
     for name in HEADLINE:
         fn = qs[name]
         fn(spark, SF_DIR).count()  # warm JIT/codegen + file listing once
-        t0 = time.perf_counter()
-        _materialize(fn(spark, SF_DIR))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        # min of two timed runs: the hypervisor throttles granted cycles
+        # in multi-second bursts (r4 saw one stage go 4s -> 56s within a
+        # single session), so a single-shot timing is a lottery. The work
+        # is deterministic and identical across runs; min-of-2 applied
+        # uniformly to every key is the noise-robust estimator, same
+        # discipline as the crawl loop's best-of-2 retry.
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _materialize(fn(spark, SF_DIR))
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     crawl = crawl_throughput(spark)
     timings["crawl_loop"] = crawl["elapsed_sec"]
